@@ -1,0 +1,97 @@
+"""Batch-engine tests (SURVEY.md §7.5): vmapped batch ≡ independent singles,
+auto-reset ≡ manual reset, rollout shapes + episode bookkeeping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gym_fishing_tpu as gft
+from gym_fishing_tpu.batch import batched_reset, batched_step, batched_step_xi, rollout
+
+
+def test_batched_step_xi_equals_independent_singles():
+    env, params = gft.make("fishing-v1", dtype=jnp.float64, sigma=0.1)
+    B = 16
+    rng = np.random.default_rng(0)
+    state = batched_reset(env, params, B)
+    # desynchronize stocks
+    stocks = jnp.asarray(rng.uniform(0.2, 1.5, B))
+    st = state.env.replace(stock=stocks)
+    actions = jnp.asarray(rng.uniform(-1, 0, (B, 1)))
+    xi = jnp.asarray(rng.standard_normal(B))
+    eta = jnp.asarray(rng.standard_normal(B))
+
+    bstate, bts = batched_step_xi(env, params, st, actions, xi, eta)
+    for i in range(B):
+        s_i = jax.tree.map(lambda x: x[i], st)
+        ss, ts = env.step_xi(params, s_i, actions[i], xi[i], eta[i])
+        assert float(ss.stock) == float(bstate.stock[i])
+        assert float(ts.reward) == float(bts.reward[i])
+        assert float(ts.obs[0]) == float(bts.obs[i, 0])
+
+
+def test_autoreset_resets_done_instances():
+    env, params = gft.make("fishing-v1", dtype=jnp.float64, sigma=0.0, Tmax=5)
+    B = 4
+    state = batched_reset(env, params, B)
+    key = jax.random.key(0)
+    # harvest everything in env 0 -> collapse + reset; others idle
+    actions = jnp.asarray([[1.0], [-1.0], [-1.0], [-1.0]])
+    state, ts = batched_step(env, params, state, actions, key)
+    assert bool(ts.done[0]) and not bool(ts.done[1])
+    # instance 0 was reset: state/obs back to init
+    assert float(state.env.stock[0]) == float(params.init_state)
+    assert float(ts.obs[0, 0]) == float(params.init_state / params.K - 1.0)
+    assert int(state.env.t[0]) == 0 and int(state.env.t[1]) == 1
+    assert float(state.episode_return[0]) == 0.0
+    # the completed episode's stats are surfaced in the timestep
+    assert float(ts.episode_return[0]) == float(ts.reward[0])
+    assert int(ts.episode_length[0]) == 1
+
+
+def test_autoreset_at_Tmax_matches_manual_reset():
+    env, params = gft.make("fishing-v1", dtype=jnp.float64, sigma=0.05, Tmax=7)
+    B, T = 8, 21  # 3 episodes exactly
+    key = jax.random.key(42)
+    policy = lambda obs, k: jnp.full((B, 1), -0.95, params.dtype)  # q=0.05, sustainable
+
+    state = batched_reset(env, params, B)
+    _, traj = rollout(env, params, policy, state, key, T, autoreset=True)
+    done = np.asarray(traj.done)
+    # episodes end exactly every Tmax steps (no collapse at this quota)
+    assert done[6].all() and done[13].all() and done[20].all()
+    assert done.sum() == 3 * B
+    # episode lengths surfaced at done steps equal Tmax
+    assert (np.asarray(traj.episode_length)[6] == 7).all()
+    # manual-reset equivalence: second episode == first (same policy, but new
+    # noise keys; check bookkeeping not values): returns reset to 0 after done
+    ep_ret = np.asarray(traj.episode_return)
+    assert (ep_ret[7] == np.asarray(traj.reward)[7]).all()
+
+
+def test_rollout_shapes_and_device_residency():
+    env, params = gft.make("fishing-may-obs-v1", sigma=0.05)
+    B, T = 32, 10
+    state = batched_reset(env, params, B)
+    policy = lambda obs, k: jax.random.uniform(k, (B, 1), params.dtype, -1.0, 0.0)
+    run = jax.jit(lambda s, k: rollout(env, params, policy, s, k, T))
+    fin, traj = run(state, jax.random.key(1))
+    assert traj.obs.shape == (T, B, 1)
+    assert traj.reward.shape == (T, B)
+    assert traj.action.shape == (T, B, 1)
+    assert np.all(np.asarray(traj.obs) >= -1.0) and np.all(np.asarray(traj.obs) <= 1.0)
+
+
+def test_param_vmap_sweep():
+    """One compiled step serves a vmapped sweep over EnvParams (domain
+    randomization / param-batch capability, new vs reference)."""
+    env, params = gft.make("fishing-v1", dtype=jnp.float64, sigma=0.0)
+    rs = jnp.linspace(0.1, 0.5, 5)
+    sweep = jax.vmap(lambda r: params.replace(r=r))(rs)
+    state = jax.vmap(env.reset)(sweep)
+    action = jnp.zeros((5, 1), jnp.float64) - 1.0
+    xi = jnp.zeros(5)
+    ns, ts = jax.vmap(env.step_xi)(sweep, state, action, xi, xi)
+    x = 0.75
+    expected = x + rs * x * (1 - x)
+    np.testing.assert_allclose(np.asarray(ns.stock), np.asarray(expected), atol=1e-12)
