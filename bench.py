@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched fishing-v1 env-steps/s on the available chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+
+vs_baseline is measured against the driver's 50M env-steps/s/chip target
+(the reference itself publishes no numbers — BASELINE.md).
+
+Options (env vars): BENCH_NUM_ENVS, BENCH_NUM_STEPS, BENCH_ITERS, BENCH_ENV.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 1 << 21))
+    num_steps = int(os.environ.get("BENCH_NUM_STEPS", 512))
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+    env_id = os.environ.get("BENCH_ENV", "fishing-v1")
+
+    from gym_fishing_tpu.bench.throughput import measure
+
+    res = measure(
+        env_id=env_id, num_envs=num_envs, num_steps=num_steps, iters=iters
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"env-steps/s per chip ({env_id} batched)",
+                "value": res["steps_per_s"],
+                "unit": "steps/s",
+                "vs_baseline": res["vs_baseline"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,356 @@
+"""PPO learner co-located with the batched env engine — one jitted program.
+
+The reference trains via external stable-baselines3, crossing the
+Python<->torch<->NumPy boundary every step (reference: README usage +
+SURVEY.md §3.5; reconstructed). Here the whole iteration — rollout
+(policy forward + env step + trajectory buffers), GAE, and the clipped PPO
+update over minibatch epochs — is a single jitted function. On a mesh, env
+instances shard over the "envs" axis while parameters stay replicated; the
+gradient all-reduce is the only cross-device communication, inserted by XLA
+over ICI (BASELINE.json north star: no host round-trips in the rollout loop).
+
+MXU notes: the actor-critic MLP is deliberately batched [num_envs, obs] x
+[obs, hidden] so the matmuls tile onto the MXU; hidden sizes default to
+multiples of 128-friendly shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from gym_fishing_tpu.batch import BatchState, batched_reset, batched_step
+from gym_fishing_tpu.core.env import Env
+from gym_fishing_tpu.core.types import EnvParams
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    num_envs: int = 1024
+    num_steps: int = 128          # rollout length per iteration
+    epochs: int = 4
+    num_minibatches: int = 8
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    lr: float = 3e-4
+    vf_coef: float = 0.5
+    ent_coef: float = 0.0
+    max_grad_norm: float = 0.5
+    hidden: int = 64
+    anneal_lr: bool = False
+    total_iterations: int = 64    # used only for lr annealing
+
+
+class ActorCritic(nn.Module):
+    """Shared-nothing actor + critic MLPs (sb3 MlpPolicy shape)."""
+
+    action_dim: int
+    continuous: bool
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, obs):
+        def mlp(x, name):
+            x = nn.Dense(self.hidden, name=f"{name}_d1",
+                         kernel_init=nn.initializers.orthogonal(np.sqrt(2)))(x)
+            x = nn.tanh(x)
+            x = nn.Dense(self.hidden, name=f"{name}_d2",
+                         kernel_init=nn.initializers.orthogonal(np.sqrt(2)))(x)
+            return nn.tanh(x)
+
+        pi = mlp(obs, "pi")
+        v = mlp(obs, "v")
+        value = nn.Dense(1, name="v_out",
+                         kernel_init=nn.initializers.orthogonal(1.0))(v)[..., 0]
+        if self.continuous:
+            mean = nn.Dense(self.action_dim, name="pi_mean",
+                            kernel_init=nn.initializers.orthogonal(0.01))(pi)
+            log_std = self.param(
+                "log_std", nn.initializers.zeros, (self.action_dim,), jnp.float32
+            )
+            return (mean, log_std), value
+        logits = nn.Dense(self.action_dim, name="pi_logits",
+                          kernel_init=nn.initializers.orthogonal(0.01))(pi)
+        return (logits,), value
+
+
+# ----------------------------------------------------------------- dists
+def sample_action(dist, key, continuous: bool):
+    if continuous:
+        mean, log_std = dist
+        noise = jax.random.normal(key, mean.shape, mean.dtype)
+        action = mean + jnp.exp(log_std) * noise
+        logp = _normal_logp(action, mean, log_std)
+        return action, logp
+    (logits,) = dist
+    action = jax.random.categorical(key, logits)
+    logp = jax.nn.log_softmax(logits)[
+        jnp.arange(logits.shape[0]), action
+    ]
+    return action, logp
+
+
+def action_logp_entropy(dist, action, continuous: bool):
+    if continuous:
+        mean, log_std = dist
+        logp = _normal_logp(action, mean, log_std)
+        ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1)
+        ent = jnp.broadcast_to(ent, logp.shape)
+        return logp, ent
+    (logits,) = dist
+    logps = jax.nn.log_softmax(logits)
+    logp = jnp.take_along_axis(logps, action[..., None], axis=-1)[..., 0]
+    probs = jax.nn.softmax(logits)
+    ent = -jnp.sum(probs * logps, axis=-1)
+    return logp, ent
+
+
+def _normal_logp(x, mean, log_std):
+    var = jnp.exp(2 * log_std)
+    return jnp.sum(
+        -0.5 * ((x - mean) ** 2 / var + 2 * log_std + jnp.log(2 * jnp.pi)), axis=-1
+    )
+
+
+# ----------------------------------------------------------------- setup
+def make_train_state(
+    env: Env, cfg: PPOConfig, key: jax.Array, params: Optional[EnvParams] = None
+) -> TrainState:
+    continuous = env.config.scheme == "continuous"
+    action_dim = 1 if continuous else env.config.n_actions
+    net = ActorCritic(action_dim=action_dim, continuous=continuous, hidden=cfg.hidden)
+    obs0 = jnp.zeros((1, 1), jnp.float32)
+    net_params = net.init(key, obs0)
+    if cfg.anneal_lr:
+        total_updates = cfg.total_iterations * cfg.epochs * cfg.num_minibatches
+        schedule = optax.linear_schedule(cfg.lr, 0.0, total_updates)
+    else:
+        schedule = cfg.lr
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(schedule, eps=1e-5),
+    )
+    return TrainState.create(apply_fn=net.apply, params=net_params, tx=tx)
+
+
+# ------------------------------------------------------------- rollout
+@dataclasses.dataclass(frozen=True)
+class Transition:
+    obs: Any
+    action: Any
+    logp: Any
+    value: Any
+    reward: Any
+    done: Any
+    episode_return: Any
+    episode_length: Any
+
+
+jax.tree_util.register_dataclass(Transition)
+
+
+def collect_rollout(
+    env: Env,
+    env_params: EnvParams,
+    cfg: PPOConfig,
+    ts: TrainState,
+    bstate: BatchState,
+    key: jax.Array,
+):
+    """lax.scan rollout of cfg.num_steps with the current policy."""
+    continuous = env.config.scheme == "continuous"
+
+    def body(carry, step_key):
+        bstate, obs = carry
+        k_act, k_env = jax.random.split(step_key)
+        dist, value = ts.apply_fn(ts.params, obs)
+        action, logp = sample_action(dist, k_act, continuous)
+        env_action = action if continuous else action.astype(jnp.int32)
+        bstate2, rs = batched_step(env, env_params, bstate, env_action, k_env)
+        # Cast env outputs to the learner dtype (env may run f64 in tests).
+        tr = Transition(
+            obs=obs,
+            action=action,
+            logp=logp,
+            value=value,
+            reward=rs.reward.astype(jnp.float32),
+            done=rs.done,
+            episode_return=rs.episode_return.astype(jnp.float32),
+            episode_length=rs.episode_length,
+        )
+        return (bstate2, rs.obs.astype(jnp.float32)), tr
+
+    obs0 = jax.vmap(env.get_obs, in_axes=(None, 0))(env_params, bstate.env)
+    obs0 = obs0.astype(jnp.float32)
+    keys = jax.random.split(key, cfg.num_steps)
+    (bstate, obs_last), traj = jax.lax.scan(body, (bstate, obs0), keys)
+    _, last_value = ts.apply_fn(ts.params, obs_last)
+    return bstate, obs_last, traj, last_value
+
+
+def compute_gae(cfg: PPOConfig, traj: Transition, last_value):
+    """Reverse-scan GAE over the time axis."""
+
+    def body(carry, tr):
+        gae, next_value = carry
+        nonterminal = 1.0 - tr.done.astype(jnp.float32)
+        delta = tr.reward + cfg.gamma * next_value * nonterminal - tr.value
+        gae = delta + cfg.gamma * cfg.gae_lambda * nonterminal * gae
+        return (gae, tr.value), gae
+
+    (_, _), advantages = jax.lax.scan(
+        body, (jnp.zeros_like(last_value), last_value), traj, reverse=True
+    )
+    returns = advantages + traj.value
+    return advantages, returns
+
+
+# --------------------------------------------------------------- update
+def ppo_loss(net_apply, params, cfg: PPOConfig, batch, continuous: bool):
+    obs, action, old_logp, old_value, adv, ret = batch
+    dist, value = net_apply(params, obs)
+    logp, entropy = action_logp_entropy(dist, action, continuous)
+    ratio = jnp.exp(logp - old_logp)
+    adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+    pg1 = ratio * adv_n
+    pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
+    pg_loss = -jnp.minimum(pg1, pg2).mean()
+    v_clipped = old_value + jnp.clip(value - old_value, -cfg.clip_eps, cfg.clip_eps)
+    v_loss = 0.5 * jnp.maximum(
+        (value - ret) ** 2, (v_clipped - ret) ** 2
+    ).mean()
+    ent = entropy.mean()
+    total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+    approx_kl = ((ratio - 1) - jnp.log(ratio)).mean()
+    return total, {
+        "loss": total,
+        "pg_loss": pg_loss,
+        "v_loss": v_loss,
+        "entropy": ent,
+        "approx_kl": approx_kl,
+    }
+
+
+def train_step(
+    env: Env,
+    env_params: EnvParams,
+    cfg: PPOConfig,
+    ts: TrainState,
+    bstate: BatchState,
+    key: jax.Array,
+):
+    """One full PPO iteration (rollout + GAE + epochs of minibatch SGD).
+
+    Pure and jittable; under a mesh, shard `bstate` on the "envs" axis and
+    replicate `ts` — XLA all-reduces the gradients over ICI automatically.
+    """
+    continuous = env.config.scheme == "continuous"
+    k_roll, k_perm = jax.random.split(key)
+    bstate, obs_last, traj, last_value = collect_rollout(
+        env, env_params, cfg, ts, bstate, k_roll
+    )
+    advantages, returns = compute_gae(cfg, traj, last_value)
+
+    # flatten [T, B] -> [T*B]
+    def fl(x):
+        return x.reshape((-1,) + x.shape[2:])
+
+    dataset = (
+        fl(traj.obs),
+        fl(traj.action),
+        fl(traj.logp),
+        fl(traj.value),
+        fl(advantages),
+        fl(returns),
+    )
+    batch_size = cfg.num_steps * cfg.num_envs
+    mb_size = batch_size // cfg.num_minibatches
+
+    def epoch(carry, ep_key):
+        ts = carry
+        perm = jax.random.permutation(ep_key, batch_size)
+
+        def minibatch(ts, idx):
+            mb = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), dataset)
+            grad_fn = jax.value_and_grad(
+                lambda p: ppo_loss(ts.apply_fn, p, cfg, mb, continuous),
+                has_aux=True,
+            )
+            (loss, metrics), grads = grad_fn(ts.params)
+            ts = ts.apply_gradients(grads=grads)
+            return ts, metrics
+
+        idxs = perm.reshape(cfg.num_minibatches, mb_size)
+        ts, metrics = jax.lax.scan(minibatch, ts, idxs)
+        return ts, metrics
+
+    ep_keys = jax.random.split(k_perm, cfg.epochs)
+    ts, metrics = jax.lax.scan(epoch, ts, ep_keys)
+    metrics = jax.tree.map(lambda x: x.mean(), metrics)
+
+    done_f = traj.done.astype(jnp.float32)
+    n_done = done_f.sum()
+    metrics["episode_return"] = jnp.where(
+        n_done > 0, (traj.episode_return * done_f).sum() / jnp.maximum(n_done, 1), jnp.nan
+    )
+    metrics["episode_length"] = jnp.where(
+        n_done > 0,
+        (traj.episode_length.astype(jnp.float32) * done_f).sum() / jnp.maximum(n_done, 1),
+        jnp.nan,
+    )
+    metrics["mean_reward"] = traj.reward.mean()
+    return ts, bstate, metrics
+
+
+def train(
+    env: Env,
+    cfg: PPOConfig,
+    seed: int = 0,
+    iterations: int = 32,
+    env_params: Optional[EnvParams] = None,
+    verbose: bool = False,
+):
+    """Host loop over jitted train_step (single-device convenience API)."""
+    if env_params is None:
+        env_params = env.params()
+    key = jax.random.key(seed)
+    key, k_init = jax.random.split(key)
+    ts = make_train_state(env, cfg, k_init)
+    bstate = batched_reset(env, env_params, cfg.num_envs)
+    step = jax.jit(partial(train_step, env, env_params, cfg))
+    history = []
+    for it in range(iterations):
+        key, sub = jax.random.split(key)
+        ts, bstate, metrics = step(ts, bstate, sub)
+        history.append({k: float(v) for k, v in metrics.items()})
+        if verbose:
+            print(f"iter {it}: {history[-1]}")
+    return ts, history
+
+
+class PPOPolicy:
+    """sb3-style .predict wrapper over a trained TrainState (for simulate)."""
+
+    def __init__(self, env: Env, ts: TrainState):
+        self.env = env
+        self.ts = ts
+        self.continuous = env.config.scheme == "continuous"
+
+    def act(self, obs, carried_harvest=None):
+        dist, _ = self.ts.apply_fn(self.ts.params, obs.astype(jnp.float32))
+        if self.continuous:
+            return dist[0]  # mean action
+        return jnp.argmax(dist[0], axis=-1).astype(jnp.int32)
+
+    def predict(self, obs, state=None, episode_start=None, deterministic=True):
+        a = self.act(jnp.asarray(obs))
+        return np.asarray(a), state

@@ -1,0 +1,98 @@
+"""Throughput + scaling benchmarks (SURVEY.md §6 / BASELINE.md north star).
+
+Headline metric: batched fishing-v1 env-steps/s on one chip — a jitted
+lax.scan rollout (policy + step + auto-reset fused on device), timed with
+block_until_ready around the device work only. The reference publishes no
+numbers (BASELINE.json "published": {}); the target is the driver's
+50M env-steps/s/chip.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+import gym_fishing_tpu as gft
+from gym_fishing_tpu.agents.policies import escapement
+from gym_fishing_tpu.batch import batched_reset, batched_step
+from gym_fishing_tpu.batch import rollout as traj_rollout
+from gym_fishing_tpu.shard import make_mesh, shard_batch
+
+BASELINE_STEPS_PER_S = 50_000_000.0  # BASELINE.json target (>= 50M steps/s/chip)
+
+
+def measure(
+    env_id: str = "fishing-v1",
+    num_envs: int = 1 << 20,
+    num_steps: int = 64,
+    iters: int = 10,
+    warmup: int = 3,
+    sigma: float = 0.05,
+    mesh=None,
+    store_trajectory: bool = False,
+) -> dict:
+    """Time the fused rollout; returns steps/s and vs-baseline ratio.
+
+    ``store_trajectory=False`` (default): reward is sum-reduced on device —
+    pure stepping throughput. ``True``: full [T, B] trajectory buffers are
+    materialized (the learner-feeding variant).
+    """
+    env, params = gft.make(env_id, sigma=sigma)
+    pol = escapement(env, params)
+
+    if store_trajectory:
+
+        def run(state, key):
+            return traj_rollout(
+                env, params, lambda o, _k: pol.act(o), state, key, num_steps
+            )
+
+    else:
+
+        def run(state, key):
+            obs0 = jax.vmap(env.get_obs, in_axes=(None, 0))(params, state.env)
+
+            def body(carry, k):
+                st, obs = carry
+                st, ts = batched_step(env, params, st, pol.act(obs), k, autoreset=True)
+                return (st, ts.obs), ts.reward.sum()
+
+            keys = jax.random.split(key, num_steps)
+            (state2, _), rew = jax.lax.scan(body, (state, obs0), keys)
+            return state2, rew.sum()
+
+    run = jax.jit(run, donate_argnums=(0,))
+
+    state = batched_reset(env, params, num_envs)
+    if mesh is not None:
+        state = shard_batch(state, mesh)
+
+    key = jax.random.key(0)
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        out = run(state, sub)
+        jax.block_until_ready(out)
+        state = out[0]
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        out = run(state, sub)
+        jax.block_until_ready(out)
+        state = out[0]
+    dt = time.perf_counter() - t0
+
+    total = num_envs * num_steps * iters
+    steps_per_s = total / dt
+    return {
+        "env_id": env_id,
+        "num_envs": num_envs,
+        "num_steps": num_steps,
+        "iters": iters,
+        "seconds": dt,
+        "steps_per_s": steps_per_s,
+        "vs_baseline": steps_per_s / BASELINE_STEPS_PER_S,
+    }

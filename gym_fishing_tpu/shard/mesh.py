@@ -1,0 +1,93 @@
+"""Device-mesh sharding for the env engine + learner (SURVEY.md §2.4).
+
+The reference has no parallelism of any kind (single Python process; SURVEY.md
+§2.4 "reference: none exist"). This module is the build-side equivalent of a
+distributed runtime, TPU-native:
+
+- env instances shard over a 1-D ``("envs",)`` mesh (embarrassingly parallel
+  — env shards never communicate);
+- learner parameters are replicated; the PPO gradient all-reduce is inserted
+  by XLA from the sharding annotations and rides ICI within a slice / DCN
+  across slices;
+- multi-host entry is standard SPMD: `jax.distributed.initialize()`, one
+  process per host, every process runs the same jitted program.
+
+TP/PP/SP/EP are deliberately N/A (SURVEY.md §2.4): the policy MLP is tiny and
+pure-DP; there is no large model to shard. Documented, not built.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ENVS_AXIS = "envs"
+
+
+def distributed_init(**kwargs) -> None:
+    """Multi-host SPMD entry: call once per host process before device use.
+
+    Thin wrapper over `jax.distributed.initialize` — no NCCL/MPI analog
+    exists or is needed; XLA collectives over ICI/DCN are the comms backend.
+    No-op when already initialized or running single-process.
+    """
+    if jax.process_count() > 1:
+        return
+    coord = kwargs.get("coordinator_address") or os.environ.get("JAX_COORDINATOR")
+    if coord is None:
+        return  # single-host
+    jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """1-D mesh over the env axis. Uses all addressable devices by default."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (ENVS_AXIS,))
+
+
+def env_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding for batched env state / trajectories."""
+    return NamedSharding(mesh, P(ENVS_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (learner params, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place a batched pytree with the leading axis sharded over the mesh."""
+    s = env_sharding(mesh)
+    return jax.device_put(tree, s)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def constrain_envs(tree, mesh: Mesh):
+    """In-graph sharding constraint on the env axis (use inside jit)."""
+    s = env_sharding(mesh)
+    return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, s), tree)
+
+
+def state_checksum(tree) -> jnp.ndarray:
+    """Debug-mode cross-host divergence check (SURVEY.md §5.2).
+
+    Sum-reduce every float leaf to one scalar; in SPMD every process must
+    compute the same value (jit of this under the mesh all-reduces
+    automatically). Compare across hosts to detect divergence.
+    """
+    leaves = [jnp.sum(x.astype(jnp.float64)) for x in jax.tree.leaves(tree)
+              if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)]
+    return jnp.sum(jnp.stack(leaves)) if leaves else jnp.zeros(())
