@@ -20,12 +20,23 @@ def main() -> None:
     num_steps = int(os.environ.get("BENCH_NUM_STEPS", 512))
     iters = int(os.environ.get("BENCH_ITERS", 5))
     env_id = os.environ.get("BENCH_ENV", "fishing-v1")
+    mode = os.environ.get("BENCH_MODE", "pallas")  # pallas | xla
 
     from gym_fishing_tpu.bench.throughput import measure
 
-    res = measure(
-        env_id=env_id, num_envs=num_envs, num_steps=num_steps, iters=iters
-    )
+    try:
+        res = measure(
+            env_id=env_id, num_envs=num_envs, num_steps=num_steps, iters=iters,
+            mode=mode,
+        )
+    except Exception:
+        if mode != "xla":  # pallas unavailable (e.g. CPU-only) -> XLA path
+            res = measure(
+                env_id=env_id, num_envs=num_envs, num_steps=num_steps,
+                iters=iters, mode="xla",
+            )
+        else:
+            raise
     print(
         json.dumps(
             {

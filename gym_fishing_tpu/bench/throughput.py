@@ -33,13 +33,20 @@ def measure(
     sigma: float = 0.05,
     mesh=None,
     store_trajectory: bool = False,
+    mode: str = "xla",
 ) -> dict:
     """Time the fused rollout; returns steps/s and vs-baseline ratio.
 
     ``store_trajectory=False`` (default): reward is sum-reduced on device —
     pure stepping throughput. ``True``: full [T, B] trajectory buffers are
     materialized (the learner-feeding variant).
+
+    ``mode="pallas"``: the hand-written VMEM-resident rollout kernel
+    (kernels/rollout_kernel.py) — same dynamics + auto-reset + escapement
+    policy, state stays on-chip for all num_steps.
     """
+    if mode == "pallas":
+        return _measure_pallas(env_id, num_envs, num_steps, iters, warmup, sigma)
     env, params = gft.make(env_id, sigma=sigma)
     pol = escapement(env, params)
 
@@ -89,6 +96,49 @@ def measure(
     steps_per_s = total / dt
     return {
         "env_id": env_id,
+        "mode": "xla",
+        "num_envs": num_envs,
+        "num_steps": num_steps,
+        "iters": iters,
+        "seconds": dt,
+        "steps_per_s": steps_per_s,
+        "vs_baseline": steps_per_s / BASELINE_STEPS_PER_S,
+    }
+
+
+def _measure_pallas(env_id, num_envs, num_steps, iters, warmup, sigma) -> dict:
+    from gym_fishing_tpu.agents.policies import escapement as esc_pol
+    from gym_fishing_tpu.kernels import make_scalars, pallas_rollout
+
+    env, params = gft.make(env_id, sigma=sigma)
+    pol = esc_pol(env, params)
+    scalars = make_scalars(params, float(pol.x_star), seed=1)
+    growth = env.config.growth
+    noise_form = env.config.noise_form
+
+    stock = jnp.full((num_envs,), float(params.init_state), jnp.float32)
+    t = jnp.zeros((num_envs,), jnp.int32)
+
+    def run(stock, t):
+        return pallas_rollout(
+            stock, t, scalars, num_steps, growth=growth, noise_form=noise_form
+        )
+
+    for _ in range(warmup):
+        stock, t, rew = run(stock, t)
+        jax.block_until_ready((stock, t, rew))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        stock, t, rew = run(stock, t)
+        jax.block_until_ready((stock, t, rew))
+    dt = time.perf_counter() - t0
+
+    total = num_envs * num_steps * iters
+    steps_per_s = total / dt
+    return {
+        "env_id": env_id,
+        "mode": "pallas",
         "num_envs": num_envs,
         "num_steps": num_steps,
         "iters": iters,

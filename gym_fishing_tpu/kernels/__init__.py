@@ -1,0 +1,1 @@
+from gym_fishing_tpu.kernels.rollout_kernel import POLICIES, make_scalars, pallas_rollout

@@ -1,0 +1,222 @@
+"""Pallas TPU fused rollout kernel — the framework's hand-written hot path.
+
+The XLA lax.scan rollout round-trips the [num_envs] state pytree through HBM
+every step. This kernel instead keeps a tile of env state resident in VMEM
+for the *entire* T-step rollout: per grid program, the stock/time tiles are
+loaded once, stepped T times on the VPU (growth, harvest, Box-Muller process
+noise from the on-chip PRNG, auto-reset), and written back once, with the
+per-env reward stream accumulated in registers. HBM traffic drops from
+O(T·B) to O(B), which is the speed-of-light regime for this op (no matmuls —
+it is VPU/transcendental bound, not MXU). One Box-Muller pair feeds two env
+steps (sin+cos), halving the transcendental count — the actual bottleneck.
+
+Supports every growth model and noise form of the engine (static kernel
+specialization, like the EnvConfig closure in core.env) and the closed-form
+policies (constant escapement / constant mortality / constant quota), so
+baseline-policy evaluation sweeps run at kernel speed.
+
+Semantics: identical to batch.batched_step(autoreset=True) per
+ORACLE_SEMANTICS.md, *except* the RNG: the Pallas per-core PRNG + Box-Muller
+replaces threefry, so noisy trajectories match the XLA path statistically,
+not bitwise. With sigma=0 the kernel is deterministic and must match the XLA
+engine exactly (tested in tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gym_fishing_tpu.core.types import GROWTH_MODELS, NOISE_FORMS
+
+LANES = 128
+TWO_PI = 6.283185307179586
+NUM_SCALARS = 16
+POLICIES = ("escapement", "constant_mortality", "constant")
+
+# scalar vector layout (SMEM):
+#  0:r 1:K 2:sigma 3:policy_param 4:price 5:Tmax 6:init_state 7:seed
+#  8:A 9:B 10:C 11:theta 12:a 13:b 14:q 15:(pad)
+
+
+def _uniform_from_bits(bits):
+    """uint32 -> f32 uniform in (0, 1].
+
+    Mosaic has no uint32->f32 cast, so build a float in [1, 2) directly:
+    23 random mantissa bits OR the exponent of 1.0, bitcast, subtract from 2
+    (giving (0, 1], safe for log).
+    """
+    mant = jax.lax.shift_right_logical(bits, jnp.uint32(9))
+    fbits = jax.lax.bitwise_or(mant, jnp.uint32(0x3F800000))
+    return 2.0 - pltpu.bitcast(fbits, jnp.float32)
+
+
+def _growth(growth: str, s, x):
+    """Static-specialized growth update (ORACLE_SEMANTICS.md table), f32."""
+    r, K = s[0], s[1]
+    if growth == "logistic":
+        return x + r * x * (1.0 - x / K)
+    if growth == "ricker":
+        return x * jnp.exp(r * (1.0 - x / K))
+    if growth == "beverton_holt":
+        A, B = s[8], s[9]
+        return A * x / (1.0 + B * x)
+    if growth == "allen":
+        C = s[10]
+        return x * jnp.exp(r * (1.0 - x / K) * (x - C) / K)
+    if growth == "myers":
+        theta = s[11]
+        xt = jnp.power(x, theta)
+        return r * xt / (1.0 + xt / K)
+    if growth == "may":
+        a, b, q = s[12], s[13], s[14]
+        xq = jnp.power(x, q)
+        # scalar powf does not legalize in Mosaic; b > 0 so use exp/log
+        bq = jnp.exp(q * jnp.log(b))
+        return x + r * x * (1.0 - x / K) - a * xq / (xq + bq)
+    raise ValueError(f"unknown growth model {growth!r}")
+
+
+def _quota(policy: str, s, x):
+    p = s[3]
+    if policy == "escapement":
+        return jnp.maximum(x - p, 0.0)
+    if policy == "constant_mortality":
+        return p * x
+    if policy == "constant":
+        return jnp.full_like(x, p)
+    raise ValueError(f"unknown policy {policy!r}")
+
+
+def _rollout_kernel(
+    scal_ref,  # SMEM (1, NUM_SCALARS) f32
+    x_ref,     # VMEM (R, 128) f32 stock
+    t_ref,     # VMEM (R, 128) i32 years passed
+    x_out_ref,
+    t_out_ref,
+    rew_ref,   # VMEM (R, 128) f32 per-env accumulated reward
+    *,
+    num_steps: int,
+    growth: str,
+    noise_form: str,
+    policy: str,
+):
+    s = [scal_ref[0, i] for i in range(NUM_SCALARS)]
+    sigma, price = s[2], s[4]
+    Tmax = s[5].astype(jnp.int32)
+    x_init = s[6]
+    seed = s[7].astype(jnp.int32)
+
+    pltpu.prng_seed(seed + pl.program_id(0))
+    shape = x_ref.shape
+
+    def step(x, t, rew, z):
+        quota = _quota(policy, s, x)
+        hv = jnp.minimum(x, quota)
+        x1 = x - hv
+        mu = _growth(growth, s, x1)
+        if noise_form == "additive":
+            x2 = mu + sigma * x1 * z
+        else:  # lognormal
+            x2 = mu * jnp.exp(sigma * z)
+        x_next = jnp.maximum(x2, 0.0)
+        rew = rew + price * hv
+        t_next = t + 1
+        done = (t_next >= Tmax) | (x_next <= 0.0)
+        x_next = jnp.where(done, x_init, x_next)
+        t_next = jnp.where(done, 0, t_next)
+        return x_next, t_next, rew
+
+    def body(_, carry):
+        # One Box-Muller pair (sin+cos) feeds TWO env steps — halves the
+        # transcendental count per step, the VPU bottleneck of this kernel.
+        x, t, rew = carry
+        u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        rad = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = TWO_PI * u2
+        x, t, rew = step(x, t, rew, rad * jnp.cos(theta))
+        x, t, rew = step(x, t, rew, rad * jnp.sin(theta))
+        return x, t, rew
+
+    x, t, rew = jax.lax.fori_loop(
+        0,
+        num_steps // 2,
+        body,
+        (x_ref[:], t_ref[:], jnp.zeros(shape, jnp.float32)),
+    )
+    x_out_ref[:] = x
+    t_out_ref[:] = t
+    rew_ref[:] = rew
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps", "rows_per_block", "growth", "noise_form", "policy", "interpret"),
+)
+def pallas_rollout(
+    stock: jax.Array,    # (B,) f32
+    t: jax.Array,        # (B,) i32
+    scalars: jax.Array,  # (NUM_SCALARS,) f32, see layout above
+    num_steps: int,
+    rows_per_block: int = 128,
+    growth: str = "logistic",
+    noise_form: str = "additive",
+    policy: str = "escapement",
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused T-step rollout. Returns (stock', t', per-env rewards (B,)).
+
+    B must be a multiple of rows_per_block * 128; num_steps must be even
+    (2-step unrolled body).
+    """
+    assert growth in GROWTH_MODELS and noise_form in NOISE_FORMS and policy in POLICIES
+    assert num_steps % 2 == 0, "num_steps must be even (2-step unrolled body)"
+    B = stock.shape[0]
+    tile = rows_per_block * LANES
+    assert B % tile == 0, f"num_envs {B} must be a multiple of {tile}"
+    grid = B // tile
+    x2d = stock.reshape(grid * rows_per_block, LANES)
+    t2d = t.reshape(grid * rows_per_block, LANES)
+
+    kernel = functools.partial(
+        _rollout_kernel,
+        num_steps=num_steps,
+        growth=growth,
+        noise_form=noise_form,
+        policy=policy,
+    )
+    blk = lambda: pl.BlockSpec(
+        (rows_per_block, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    x_out, t_out, rew = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk(), blk()],
+        out_specs=[blk(), blk(), blk()],
+        out_shape=[
+            jax.ShapeDtypeStruct(x2d.shape, jnp.float32),
+            jax.ShapeDtypeStruct(t2d.shape, jnp.int32),
+            jax.ShapeDtypeStruct(x2d.shape, jnp.float32),
+        ],
+        # bool True selects the Mosaic TPU interpreter (supports the TPU PRNG
+        # primitives on CPU); the generic HLO interpreter does not.
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(scalars.reshape(1, NUM_SCALARS), x2d, t2d)
+    return x_out.reshape(B), t_out.reshape(B), rew.reshape(B)
+
+
+def make_scalars(params, policy_param, seed: int) -> jax.Array:
+    """Pack EnvParams + the policy scalar into the kernel's SMEM vector."""
+    vals = [
+        params.r, params.K, params.sigma, policy_param, params.price,
+        params.Tmax, params.init_state, seed,
+        params.A, params.B, params.C, params.theta,
+        params.a, params.b, params.q, 0.0,
+    ]
+    return jnp.asarray([float(v) for v in vals], jnp.float32)

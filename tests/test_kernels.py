@@ -1,0 +1,114 @@
+"""Pallas rollout-kernel semantics tests (CPU interpret mode).
+
+The kernel must implement exactly the engine's batched_step(autoreset=True)
+dynamics (ORACLE_SEMANTICS.md). With sigma=0 both paths are deterministic, so
+they are compared directly across growth models, noise forms, and policies.
+The TPU throughput itself is exercised by bench.py on hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gym_fishing_tpu as gft
+from gym_fishing_tpu.agents.policies import escapement, msy
+from gym_fishing_tpu.batch import batched_reset, batched_step
+from gym_fishing_tpu.kernels import make_scalars, pallas_rollout
+
+B = 1 * 8 * 128  # one (8, 128) f32 tile
+
+
+def xla_reference(env, params, policy_quota_fn, num_steps, stock0):
+    """Deterministic XLA rollout with quota computed from the true stock."""
+    state = batched_reset(env, params, B)
+    state = state.replace(env=state.env.replace(stock=stock0))
+    key = jax.random.key(0)  # sigma=0: key is irrelevant
+    rewards = jnp.zeros((B,), params.dtype)
+    from gym_fishing_tpu.spaces.scaling import encode_action
+
+    for _ in range(num_steps):
+        q = policy_quota_fn(state.env.stock)
+        action = encode_action(env.config, params, state.env.harvest, q)
+        state, ts = batched_step(env, params, state, action, key, autoreset=True)
+        rewards = rewards + ts.reward
+    return state.env.stock, state.env.t, rewards
+
+
+def run_kernel(env, params, policy, policy_param, num_steps, stock0, rows=8):
+    scalars = make_scalars(params, policy_param, seed=3)
+    return pallas_rollout(
+        stock0.astype(jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        scalars,
+        num_steps,
+        rows_per_block=rows,
+        growth=env.config.growth,
+        noise_form=env.config.noise_form,
+        policy=policy,
+        interpret=True,
+    )
+
+
+@pytest.mark.parametrize(
+    "growth,r", [("logistic", 0.3), ("ricker", 0.3), ("beverton_holt", 0.3),
+                 ("allen", 0.3), ("may", 0.75)]
+)
+def test_kernel_matches_engine_sigma0(growth, r):
+    env, params = gft.make(
+        "fishing-v1", dtype=jnp.float32, sigma=0.0, r=r, growth=growth, Tmax=13
+    )
+    rng = np.random.default_rng(0)
+    stock0 = jnp.asarray(rng.uniform(0.3, 1.2, B), jnp.float32)
+    S = 0.5
+    kx, kt, krew = run_kernel(env, params, "escapement", S, 30, stock0)
+    xx, xt, xrew = xla_reference(
+        env, params, lambda x: jnp.maximum(x - S, 0.0), 30, stock0
+    )
+    np.testing.assert_allclose(np.asarray(kx), np.asarray(xx), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(kt), np.asarray(xt))
+    np.testing.assert_allclose(np.asarray(krew), np.asarray(xrew), atol=2e-5)
+
+
+def test_kernel_constant_mortality_policy():
+    env, params = gft.make("fishing-v1", dtype=jnp.float32, sigma=0.0, Tmax=50)
+    stock0 = jnp.full((B,), 0.75, jnp.float32)
+    F = 0.15  # r/2: MSY mortality on logistic
+    kx, kt, krew = run_kernel(env, params, "constant_mortality", F, 40, stock0)
+    xx, xt, xrew = xla_reference(env, params, lambda x: F * x, 40, stock0)
+    np.testing.assert_allclose(np.asarray(kx), np.asarray(xx), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(krew), np.asarray(xrew), atol=2e-5)
+    # per-step reward approaches r*K/4 at MSY equilibrium
+    assert float(krew.mean()) / 40 == pytest.approx(0.075, abs=0.01)
+
+
+def test_kernel_autoreset_at_Tmax():
+    env, params = gft.make("fishing-v1", dtype=jnp.float32, sigma=0.0, Tmax=7)
+    stock0 = jnp.full((B,), 0.75, jnp.float32)
+    kx, kt, _ = run_kernel(env, params, "constant", 0.02, 20, stock0)
+    # after 20 steps with Tmax=7: t = 20 - 2*7 = 6 everywhere
+    assert (np.asarray(kt) == 6).all()
+
+
+def test_uniform_from_bits_and_box_muller_math():
+    """Validate the kernel's bits->uniform->normal transform numerically.
+
+    (The Mosaic interpreter's PRNG returns zero bits on CPU, so the on-chip
+    stream itself can't be sampled here; the transform is checked against
+    random uint32 inputs, and the TPU-side reward statistics are exercised by
+    bench.py on hardware.)
+    """
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2**32, size=200_000, dtype=np.uint32)
+    # mirror of kernels.rollout_kernel._uniform_from_bits with lax ops
+    mant = bits >> np.uint32(9)
+    fbits = mant | np.uint32(0x3F800000)
+    u = 2.0 - fbits.view(np.float32).astype(np.float64)
+    assert u.min() > 0.0 and u.max() <= 1.0
+    assert abs(u.mean() - 0.5) < 0.005
+    u1, u2 = u[:100_000], u[100_000:]
+    rad = np.sqrt(-2.0 * np.log(u1))
+    z = np.concatenate([rad * np.cos(2 * np.pi * u2), rad * np.sin(2 * np.pi * u2)])
+    assert abs(z.mean()) < 0.01
+    assert abs(z.std() - 1.0) < 0.01
+    assert abs((z**3).mean()) < 0.05  # symmetric
