@@ -1,0 +1,95 @@
+"""Checkpoint / resume for the PPO training loop (SURVEY.md §5.4).
+
+The reference has no checkpointing of its own (sb3 owns model zips,
+externally). The rebuild checkpoints the full training tuple
+``{params, opt_state, env_state, rng_key, step}`` so a run resumes
+bit-exactly. Format: NumPy .npz of the path-flattened pytree plus a JSON
+sidecar holding the treedef and PRNG-key locations (typed JAX key arrays are
+stored via key_data and re-wrapped on restore).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _is_key_array(leaf) -> bool:
+    try:
+        return jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+    except (AttributeError, TypeError):
+        return False
+
+
+def _flatten_with_paths(tree) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    flat, key_paths = {}, []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(p) for p in path)
+        if _is_key_array(leaf):
+            key_paths.append(key)
+            leaf = jax.random.key_data(leaf)
+        flat[key] = np.asarray(leaf)
+    return flat, key_paths
+
+
+def save_checkpoint(path: str, tree: Any, step: int = 0) -> str:
+    """Save a pytree to `<path>/ckpt_<step>.npz` (+ meta sidecar)."""
+    os.makedirs(path, exist_ok=True)
+    flat, key_paths = _flatten_with_paths(tree)
+    fname = os.path.join(path, f"ckpt_{step}.npz")
+    np.savez(fname, **flat)
+    meta = {
+        "step": step,
+        "treedef": str(jax.tree.structure(tree)),
+        "key_paths": key_paths,
+    }
+    with open(os.path.join(path, f"ckpt_{step}.meta.json"), "w") as f:
+        json.dump(meta, f)
+    return fname
+
+
+def latest_step(path: str) -> Optional[int]:
+    if not os.path.isdir(path):
+        return None
+    steps = [
+        int(f[len("ckpt_"):-len(".npz")])
+        for f in os.listdir(path)
+        if f.startswith("ckpt_") and f.endswith(".npz")
+    ]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(path: str, target: Any, step: Optional[int] = None) -> Tuple[Any, int]:
+    """Restore into the structure of `target` (a template pytree).
+
+    Validates the stored treedef matches; PRNG keys are re-wrapped with the
+    default impl (threefry2x32).
+    """
+    if step is None:
+        step = latest_step(path)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {path!r}")
+    fname = os.path.join(path, f"ckpt_{step}.npz")
+    data = np.load(fname)
+    with open(os.path.join(path, f"ckpt_{step}.meta.json")) as f:
+        meta = json.load(f)
+    if meta["treedef"] != str(jax.tree.structure(target)):
+        raise ValueError(
+            "checkpoint structure mismatch: "
+            f"saved {meta['treedef']} != target {jax.tree.structure(target)}"
+        )
+    key_paths = set(meta.get("key_paths", []))
+    paths, treedef = jax.tree_util.tree_flatten_with_path(target)
+    leaves = []
+    for path_entry, _ in paths:
+        key = "/".join(str(p) for p in path_entry)
+        arr = jnp.asarray(data[key])
+        if key in key_paths:
+            arr = jax.random.wrap_key_data(arr)
+        leaves.append(arr)
+    return jax.tree.unflatten(treedef, leaves), step

@@ -1,0 +1,76 @@
+"""Checkpoint round-trip, debug invariants, and scaling-harness tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gym_fishing_tpu as gft
+from gym_fishing_tpu.agents.ppo import PPOConfig, make_train_state, train_step
+from gym_fishing_tpu.batch import batched_reset
+from gym_fishing_tpu.bench.scaling import weak_scaling
+from gym_fishing_tpu.utils import (
+    assert_finite,
+    assert_unique_keys,
+    restore_checkpoint,
+    save_checkpoint,
+    trajectory_checksum,
+)
+
+
+def test_checkpoint_roundtrip_training_tuple(tmp_path):
+    """Save/restore {params, opt_state, env_state, rng_key, step} bit-exactly,
+    and resuming yields the same next step as never stopping."""
+    env, params = gft.make("fishing-v1", sigma=0.05)
+    cfg = PPOConfig(num_envs=32, num_steps=8, epochs=1, num_minibatches=2)
+    key = jax.random.key(0)
+    ts = make_train_state(env, cfg, key)
+    bstate = batched_reset(env, params, cfg.num_envs)
+    step = jax.jit(lambda t, b, k: train_step(env, params, cfg, t, b, k))
+
+    ts, bstate, _ = step(ts, bstate, key)
+    ckpt = {"params": ts.params, "opt_state": ts.opt_state, "env_state": bstate,
+            "rng_key": key, "step": jnp.asarray(1)}
+    save_checkpoint(str(tmp_path), ckpt, step=1)
+
+    restored, got_step = restore_checkpoint(str(tmp_path), ckpt)
+    assert got_step == 1
+    for a, b in zip(jax.tree.leaves(ckpt["params"]), jax.tree.leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume equivalence: one more step from restored == one more step direct
+    ts_resumed = ts.replace(params=restored["params"], opt_state=restored["opt_state"])
+    key2 = jax.random.fold_in(restored["rng_key"], 2)
+    a_ts, _, a_m = step(ts_resumed, restored["env_state"], key2)
+    b_ts, _, b_m = step(ts, bstate, jax.random.fold_in(key, 2))
+    assert float(a_m["loss"]) == float(b_m["loss"])
+
+
+def test_checkpoint_structure_mismatch_raises(tmp_path):
+    save_checkpoint(str(tmp_path), {"a": jnp.ones(3)}, step=0)
+    with pytest.raises(ValueError):
+        restore_checkpoint(str(tmp_path), {"b": jnp.ones(3)})
+
+
+def test_assert_unique_keys():
+    keys = jax.random.split(jax.random.key(0), 64)
+    assert_unique_keys(keys)
+    dup = jnp.concatenate([keys, keys[:1]])
+    with pytest.raises(AssertionError):
+        assert_unique_keys(dup)
+
+
+def test_assert_finite_and_checksum():
+    tree = {"x": jnp.ones(4), "y": jnp.arange(3)}
+    assert_finite(tree)
+    assert trajectory_checksum(tree) == pytest.approx(4 + 3)
+    with pytest.raises(AssertionError):
+        assert_finite({"x": jnp.asarray([1.0, jnp.nan])})
+
+
+def test_weak_scaling_on_virtual_devices():
+    res = weak_scaling(envs_per_device=2048, num_steps=16, iters=2,
+                       device_counts=[1, 4])
+    assert set(res["throughput"]) == {1, 4}
+    assert res["efficiency"][1] == pytest.approx(1.0)
+    assert res["efficiency"][4] > 0.2  # virtual CPU devices share cores; just sanity
