@@ -16,6 +16,8 @@ import sys
 
 
 def main() -> None:
+    # amortize remote/AOT compiles across bench invocations
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 1 << 21))
     num_steps = int(os.environ.get("BENCH_NUM_STEPS", 512))
     iters = int(os.environ.get("BENCH_ITERS", 5))
