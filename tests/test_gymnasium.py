@@ -43,3 +43,30 @@ def test_terminated_vs_truncated():
     for i in range(3):
         obs, r, term, trunc, info = env2.step(np.asarray([-1.0], np.float32))
     assert trunc and not term
+
+
+def test_vector_env():
+    from gym_fishing_tpu.envs.vector_env import FishingVectorEnv
+
+    envs = FishingVectorEnv("fishing-v1", num_envs=8, sigma=0.0, Tmax=4)
+    obs, infos = envs.reset(seed=0)
+    assert obs.shape == (8, 1)
+    for i in range(4):
+        acts = np.full((8, 1), -0.95, np.float32)
+        obs, rew, term, trunc, infos = envs.step(acts)
+    assert trunc.all() and not term.any()
+    assert (infos["episode_length"] == 4).all()
+    # collapse -> terminated
+    envs2 = FishingVectorEnv("fishing-v1", num_envs=4, sigma=0.0)
+    envs2.reset(seed=0)
+    obs, rew, term, trunc, infos = envs2.step(np.full((4, 1), 1.0, np.float32))
+    assert term.all() and not trunc.any()
+
+
+def test_vector_env_discrete():
+    from gym_fishing_tpu.envs.vector_env import FishingVectorEnv
+
+    envs = FishingVectorEnv("fishing-v0", num_envs=4, sigma=0.0)
+    envs.reset(seed=0)
+    obs, rew, term, trunc, infos = envs.step(np.array([0, 1, 2, 0]))
+    assert obs.shape == (4, 1) and rew.shape == (4,)
