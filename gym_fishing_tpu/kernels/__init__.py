@@ -1,1 +1,2 @@
 from gym_fishing_tpu.kernels.rollout_kernel import POLICIES, make_scalars, pallas_rollout
+from gym_fishing_tpu.kernels.sharded import sharded_pallas_rollout

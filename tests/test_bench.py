@@ -1,0 +1,27 @@
+"""Bench-harness code-path tests (tiny shapes, CPU): the measure() machinery
+must produce sane numbers and the trajectory-storing variant must work."""
+
+import gym_fishing_tpu  # noqa: F401
+from gym_fishing_tpu.bench.throughput import BASELINE_STEPS_PER_S, measure
+from gym_fishing_tpu.bench.profiling import time_fn
+
+import jax
+import jax.numpy as jnp
+
+
+def test_measure_xla_tiny():
+    res = measure(num_envs=64, num_steps=8, iters=2, warmup=1, mode="xla")
+    assert res["steps_per_s"] > 0
+    assert res["vs_baseline"] == res["steps_per_s"] / BASELINE_STEPS_PER_S
+    assert res["mode"] == "xla"
+
+
+def test_measure_store_trajectory():
+    res = measure(num_envs=32, num_steps=8, iters=1, warmup=1, store_trajectory=True)
+    assert res["steps_per_s"] > 0
+
+
+def test_time_fn():
+    f = jax.jit(lambda x: (x * 2).sum())
+    out = time_fn(f, jnp.ones(128), iters=3, warmup=1)
+    assert out["seconds_per_call"] > 0 and out["iters"] == 3

@@ -112,3 +112,31 @@ def test_uniform_from_bits_and_box_muller_math():
     assert abs(z.mean()) < 0.01
     assert abs(z.std() - 1.0) < 0.01
     assert abs((z**3).mean()) < 0.05  # symmetric
+
+
+def test_sharded_pallas_rollout_matches_unsharded_sigma0():
+    """Kernel under shard_map over 8 virtual devices == single-device kernel
+    (sigma=0 deterministic; interpret mode)."""
+    from functools import partial
+
+    import gym_fishing_tpu.kernels.rollout_kernel as rk
+    from gym_fishing_tpu.kernels.sharded import sharded_pallas_rollout
+    from gym_fishing_tpu.shard import make_mesh
+
+    env, params = gft.make("fishing-v1", dtype=jnp.float32, sigma=0.0, Tmax=11)
+    mesh = make_mesh(8)
+    Btot = 8 * 8 * 128  # one (8,128) tile per device
+    rng = np.random.default_rng(1)
+    stock0 = jnp.asarray(rng.uniform(0.3, 1.2, Btot), jnp.float32)
+    t0 = jnp.zeros((Btot,), jnp.int32)
+    sc = make_scalars(params, 0.5, seed=3)
+
+    xs, ts_, rs = sharded_pallas_rollout(
+        mesh, stock0, t0, sc, 20, rows_per_block=8, interpret=True
+    )
+    xu, tu, ru = pallas_rollout(
+        stock0, t0, sc, 20, rows_per_block=8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xu), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ts_), np.asarray(tu))
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(ru), atol=1e-5)
