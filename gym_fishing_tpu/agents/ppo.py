@@ -277,10 +277,18 @@ def train_step(
 
     def epoch(carry, ep_key):
         ts = carry
+        # ONE permutation-gather per epoch (streaming-friendly), then the
+        # minibatch scan slices contiguously — random-access HBM gathers per
+        # minibatch were the dominant cost of the update phase.
         perm = jax.random.permutation(ep_key, batch_size)
+        shuffled = jax.tree.map(
+            lambda x: jnp.take(x, perm, axis=0).reshape(
+                (cfg.num_minibatches, mb_size) + x.shape[1:]
+            ),
+            dataset,
+        )
 
-        def minibatch(ts, idx):
-            mb = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), dataset)
+        def minibatch(ts, mb):
             grad_fn = jax.value_and_grad(
                 lambda p: ppo_loss(ts.apply_fn, p, cfg, mb, continuous),
                 has_aux=True,
@@ -289,8 +297,7 @@ def train_step(
             ts = ts.apply_gradients(grads=grads)
             return ts, metrics
 
-        idxs = perm.reshape(cfg.num_minibatches, mb_size)
-        ts, metrics = jax.lax.scan(minibatch, ts, idxs)
+        ts, metrics = jax.lax.scan(minibatch, ts, shuffled)
         return ts, metrics
 
     ep_keys = jax.random.split(k_perm, cfg.epochs)
