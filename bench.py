@@ -12,7 +12,6 @@ Options (env vars): BENCH_NUM_ENVS, BENCH_NUM_STEPS, BENCH_ITERS, BENCH_ENV.
 
 import json
 import os
-import sys
 
 
 def main() -> None:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from gym_fishing_tpu.batch.batch import BatchState, RolloutStep
 from gym_fishing_tpu.core.env import Env
-from gym_fishing_tpu.core.types import EnvParams, EnvState
+from gym_fishing_tpu.core.types import EnvParams
 
 
 def make_param_sampler(

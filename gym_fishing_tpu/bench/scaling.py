@@ -15,7 +15,6 @@ import time
 from typing import List, Optional
 
 import jax
-import jax.numpy as jnp
 
 import gym_fishing_tpu as gft
 from gym_fishing_tpu.agents.policies import escapement

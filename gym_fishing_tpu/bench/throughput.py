@@ -10,8 +10,6 @@ numbers (BASELINE.json "published": {}); the target is the driver's
 from __future__ import annotations
 
 import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
@@ -19,7 +17,7 @@ import gym_fishing_tpu as gft
 from gym_fishing_tpu.agents.policies import escapement
 from gym_fishing_tpu.batch import batched_reset, batched_step
 from gym_fishing_tpu.batch import rollout as traj_rollout
-from gym_fishing_tpu.shard import make_mesh, shard_batch
+from gym_fishing_tpu.shard import shard_batch
 
 BASELINE_STEPS_PER_S = 50_000_000.0  # BASELINE.json target (>= 50M steps/s/chip)
 

@@ -26,7 +26,7 @@ step fuses into one XLA kernel (the "moral native component" of SURVEY.md
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

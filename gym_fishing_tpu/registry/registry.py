@@ -29,7 +29,7 @@ EnvParams fields.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 

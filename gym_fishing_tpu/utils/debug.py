@@ -8,10 +8,7 @@ jobs, and are no-ops in the hot path unless explicitly called.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 import gym_fishing_tpu as gft
-from gym_fishing_tpu.agents.policies import escapement, msy
+from gym_fishing_tpu.agents.policies import escapement
 from gym_fishing_tpu.batch import batched_reset, batched_step
 from gym_fishing_tpu.kernels import make_scalars, pallas_rollout
 
@@ -117,9 +117,6 @@ def test_uniform_from_bits_and_box_muller_math():
 def test_sharded_pallas_rollout_matches_unsharded_sigma0():
     """Kernel under shard_map over 8 virtual devices == single-device kernel
     (sigma=0 deterministic; interpret mode)."""
-    from functools import partial
-
-    import gym_fishing_tpu.kernels.rollout_kernel as rk
     from gym_fishing_tpu.kernels.sharded import sharded_pallas_rollout
     from gym_fishing_tpu.shard import make_mesh
 

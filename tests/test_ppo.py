@@ -2,7 +2,6 @@
 path, and determinism of the jitted train step."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 import gym_fishing_tpu as gft

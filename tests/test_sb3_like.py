@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import gym_fishing_tpu as gft
 from gym_fishing_tpu.agents import PPO
