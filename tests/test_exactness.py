@@ -150,3 +150,24 @@ def test_float32_tolerance():
         stocks.append(float(state.stock))
     o = orc.rollout_xi(cfg, actions, xis, etas)
     np.testing.assert_allclose(stocks, o["stock"], atol=1e-4, rtol=1e-4)
+
+
+def test_episode_return_exactness():
+    """Full-episode returns (sum of rewards to done) match the oracle
+    bit-level in float64 (BASELINE: 'rewards and episode returns match')."""
+    cfg = orc.OracleConfig(growth="logistic", scheme="continuous", sigma=0.1, Tmax=30)
+    actions, xis, etas = make_streams(cfg, 30, seed=23)
+    env, params = engine_env(cfg)
+    state = env.reset(params)
+    step = jax.jit(env.step_xi)
+    eng_ret = 0.0
+    for a, xi, eta in zip(actions, xis, etas):
+        state, ts = step(params, state, jnp.asarray(a, jnp.float64),
+                         jnp.float64(xi), jnp.float64(eta))
+        eng_ret += float(ts.reward)
+        if bool(ts.done):
+            break
+    o = orc.rollout_xi(cfg, actions, xis, etas)
+    done_idx = int(np.argmax(o["done"])) if o["done"].any() else len(actions) - 1
+    orc_ret = float(o["reward"][: done_idx + 1].sum())
+    assert eng_ret == pytest.approx(orc_ret, abs=1e-12)
