@@ -48,6 +48,9 @@ class PPOConfig:
     hidden: int = 64
     anneal_lr: bool = False
     total_iterations: int = 64    # used only for lr annealing
+    # 'bfloat16' runs the MLP matmuls in bf16 (f32 params, f32 heads/loss) —
+    # 2x MXU rate + half the activation HBM traffic on TPU.
+    compute_dtype: str = "float32"
 
 
 class ActorCritic(nn.Module):
@@ -56,30 +59,38 @@ class ActorCritic(nn.Module):
     action_dim: int
     continuous: bool
     hidden: int = 64
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, obs):
+        cdt = self.compute_dtype
+
         def mlp(x, name):
-            x = nn.Dense(self.hidden, name=f"{name}_d1",
+            x = nn.Dense(self.hidden, name=f"{name}_d1", dtype=cdt,
                          kernel_init=nn.initializers.orthogonal(np.sqrt(2)))(x)
             x = nn.tanh(x)
-            x = nn.Dense(self.hidden, name=f"{name}_d2",
+            x = nn.Dense(self.hidden, name=f"{name}_d2", dtype=cdt,
                          kernel_init=nn.initializers.orthogonal(np.sqrt(2)))(x)
             return nn.tanh(x)
 
         pi = mlp(obs, "pi")
         v = mlp(obs, "v")
-        value = nn.Dense(1, name="v_out",
-                         kernel_init=nn.initializers.orthogonal(1.0))(v)[..., 0]
+        # heads stay f32: action means / values / logits feed log-probs and
+        # the loss, where bf16 resolution would bite
+        value = nn.Dense(1, name="v_out", dtype=jnp.float32,
+                         kernel_init=nn.initializers.orthogonal(1.0))(
+            v.astype(jnp.float32))[..., 0]
         if self.continuous:
-            mean = nn.Dense(self.action_dim, name="pi_mean",
-                            kernel_init=nn.initializers.orthogonal(0.01))(pi)
+            mean = nn.Dense(self.action_dim, name="pi_mean", dtype=jnp.float32,
+                            kernel_init=nn.initializers.orthogonal(0.01))(
+                pi.astype(jnp.float32))
             log_std = self.param(
                 "log_std", nn.initializers.zeros, (self.action_dim,), jnp.float32
             )
             return (mean, log_std), value
-        logits = nn.Dense(self.action_dim, name="pi_logits",
-                          kernel_init=nn.initializers.orthogonal(0.01))(pi)
+        logits = nn.Dense(self.action_dim, name="pi_logits", dtype=jnp.float32,
+                          kernel_init=nn.initializers.orthogonal(0.01))(
+            pi.astype(jnp.float32))
         return (logits,), value
 
 
@@ -127,7 +138,12 @@ def make_train_state(
 ) -> TrainState:
     continuous = env.config.scheme == "continuous"
     action_dim = 1 if continuous else env.config.n_actions
-    net = ActorCritic(action_dim=action_dim, continuous=continuous, hidden=cfg.hidden)
+    net = ActorCritic(
+        action_dim=action_dim,
+        continuous=continuous,
+        hidden=cfg.hidden,
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+    )
     obs0 = jnp.zeros((1, 1), jnp.float32)
     net_params = net.init(key, obs0)
     if cfg.anneal_lr:
