@@ -31,12 +31,13 @@ def make_param_sampler(
 
     def sample(key: jax.Array) -> EnvParams:
         keys = jax.random.split(key, len(names))
-        draws = {
-            name: jax.random.uniform(
-                k, (), base.dtype, ranges[name][0], ranges[name][1]
-            )
-            for name, k in zip(names, keys)
-        }
+        draws = {}
+        for name, k in zip(names, keys):
+            lo, hi = ranges[name]
+            if name in ("model_idx", "Tmax"):  # integer fields: U{lo..hi}
+                draws[name] = jax.random.randint(k, (), int(lo), int(hi) + 1, jnp.int32)
+            else:
+                draws[name] = jax.random.uniform(k, (), base.dtype, lo, hi)
         return base.replace(**draws)
 
     return sample

@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 
 GROWTH_MODELS = ("logistic", "ricker", "beverton_holt", "allen", "myers", "may")
+# "mixture" selects among GROWTH_MODELS per instance via params.model_idx
+# (the model-uncertainty variant, SURVEY.md §2.1); valid in EnvConfig.growth
+# but not itself a member of GROWTH_MODELS.
+MIXTURE = "mixture"
 NOISE_FORMS = ("additive", "lognormal")
 DECODE_SCHEMES = ("continuous", "proportional", "relative")
 
@@ -48,7 +52,7 @@ class EnvConfig:
     n_actions: int = 3  # discrete schemes only
 
     def __post_init__(self) -> None:
-        if self.growth not in GROWTH_MODELS:
+        if self.growth not in GROWTH_MODELS + (MIXTURE,):
             raise ValueError(f"unknown growth model {self.growth!r}")
         if self.noise_form not in NOISE_FORMS:
             raise ValueError(f"unknown noise form {self.noise_form!r}")
@@ -93,6 +97,9 @@ class EnvParams:
     a: Any = _field(0.175)
     b: Any = _field(0.1)
     q: Any = _field(2.0)
+    # growth-model-uncertainty variant: index into GROWTH_MODELS, used only
+    # when EnvConfig.growth == "mixture" (int32; per-instance when batched)
+    model_idx: Any = _field(0)
 
     def replace(self, **kw) -> "EnvParams":
         return dataclasses.replace(self, **kw)
@@ -102,7 +109,7 @@ class EnvParams:
         out: Dict[str, Any] = {}
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
-            if f.name == "Tmax":
+            if f.name in ("Tmax", "model_idx"):
                 out[f.name] = jnp.asarray(v, jnp.int32)
             else:
                 out[f.name] = jnp.asarray(v, dtype)

@@ -54,6 +54,24 @@ GROWTH_FNS: Dict[str, Callable] = {
 }
 
 
+def mixture(p: EnvParams, x):
+    """Growth-model-uncertainty variant (SURVEY.md §2.1, TBV->pinned):
+    the effective model is selected by ``p.model_idx`` (index into
+    GROWTH_MODELS). All six updates are computed and where-selected —
+    branchless, so per-instance model indices vectorize under vmap and can
+    be resampled per episode (see batch.randomized)."""
+    candidates = [GROWTH_FNS[name](p, x) for name in
+                  ("logistic", "ricker", "beverton_holt", "allen", "myers", "may")]
+    idx = jnp.asarray(p.model_idx, jnp.int32)
+    out = candidates[0]
+    for k in range(1, len(candidates)):
+        out = jnp.where(idx == k, candidates[k], out)
+    return out
+
+
+GROWTH_FNS["mixture"] = mixture
+
+
 def get_growth_fn(name: str) -> Callable:
     try:
         return GROWTH_FNS[name]

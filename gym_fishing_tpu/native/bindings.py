@@ -93,7 +93,10 @@ class COracle:
     def __init__(self, cfg):
         """cfg: an OracleConfig (oracle.oracle) or EnvParams-like object with
         matching attribute names; growth/noise_form/scheme read from cfg."""
-        self.growth = GROWTH_IDX[cfg.growth]
+        growth = cfg.growth
+        if growth == "mixture":  # resolve static model for the C stepper
+            growth = GROWTH_MODELS[int(cfg.model_idx)]
+        self.growth = GROWTH_IDX[growth]
         self.noise = NOISE_IDX[cfg.noise_form]
         self.scheme = SCHEME_IDX[cfg.scheme]
         self.params = np.asarray(

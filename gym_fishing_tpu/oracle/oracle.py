@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 GROWTH_MODELS = ("logistic", "ricker", "beverton_holt", "allen", "myers", "may")
+MIXTURE = "mixture"  # per-episode model uncertainty: growth chosen by model_idx
 NOISE_FORMS = ("additive", "lognormal")
 DECODE_SCHEMES = ("continuous", "proportional", "relative")
 
@@ -58,9 +59,11 @@ class OracleConfig:
     a: float = 0.175
     b: float = 0.1
     q: float = 2.0
+    # mixture (model-uncertainty) variant: index into GROWTH_MODELS
+    model_idx: int = 0
 
     def __post_init__(self) -> None:
-        if self.growth not in GROWTH_MODELS:
+        if self.growth not in GROWTH_MODELS + (MIXTURE,):
             raise ValueError(f"unknown growth model {self.growth!r}")
         if self.noise_form not in NOISE_FORMS:
             raise ValueError(f"unknown noise form {self.noise_form!r}")
@@ -81,6 +84,8 @@ def reset(cfg: OracleConfig) -> OracleState:
 
 def growth(cfg: OracleConfig, x: float) -> float:
     """Deterministic stock-recruitment update (ORACLE_SEMANTICS.md table)."""
+    if cfg.growth == MIXTURE:
+        cfg = dataclasses.replace(cfg, growth=GROWTH_MODELS[cfg.model_idx])
     r, K = cfg.r, cfg.K
     if cfg.growth == "logistic":
         return x + r * x * (1.0 - x / K)

@@ -97,6 +97,10 @@ def _register_all() -> None:
         p = EnvParams().replace(**overrides)
         register(f"fishing-{g.replace('_', '-')}-v0", EnvConfig(scheme="relative", growth=g), p)
         register(f"fishing-{g.replace('_', '-')}-v1", EnvConfig(scheme="continuous", growth=g), p)
+    # Growth-model-uncertainty (mixture) variant: model_idx selects the
+    # effective model per instance; resample per episode via batch.randomized.
+    register("fishing-mixture-v0", EnvConfig(scheme="relative", growth="mixture"))
+    register("fishing-mixture-v1", EnvConfig(scheme="continuous", growth="mixture"))
     # May tipping point + observation noise (BASELINE config #4).
     p_obs = EnvParams().replace(r=0.75, sigma=0.05, sigma_m=0.05)
     register("fishing-may-obs-v0", EnvConfig(scheme="relative", growth="may"), p_obs)

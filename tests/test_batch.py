@@ -95,3 +95,38 @@ def test_param_vmap_sweep():
     x = 0.75
     expected = x + rs * x * (1 - x)
     np.testing.assert_allclose(np.asarray(ns.stock), np.asarray(expected), atol=1e-12)
+
+
+def test_mixture_growth_model_uncertainty():
+    """'mixture' growth: params.model_idx selects the model per instance;
+    matches each pure model exactly, and resamples per episode via the
+    randomized machinery (SURVEY.md §2.1 model-uncertainty variant)."""
+    from gym_fishing_tpu.core.types import GROWTH_MODELS
+    from gym_fishing_tpu.batch import make_param_sampler, randomized_reset, randomized_rollout
+
+    mix_env, mix_params = gft.make("fishing-mixture-v1", dtype=jnp.float64, sigma=0.0)
+    for idx, name in enumerate(GROWTH_MODELS):
+        pure = gft.make_env("pure", growth=name, scheme="continuous")
+        p_pure = pure.params(jnp.float64, sigma=0.0)
+        p_mix = mix_params.replace(model_idx=idx)
+        s1 = mix_env.reset(p_mix)
+        s2 = pure.reset(p_pure)
+        a = jnp.asarray([-0.8], jnp.float64)
+        n1, t1 = mix_env.step_xi(p_mix, s1, a, 0.0, 0.0)
+        n2, t2 = pure.step_xi(p_pure, s2, a, 0.0, 0.0)
+        assert float(n1.stock) == float(n2.stock), name
+
+    # per-episode model resampling
+    sampler = make_param_sampler(
+        mix_params.replace(Tmax=4), {"model_idx": (0, len(GROWTH_MODELS) - 1)}
+    )
+    key = jax.random.key(0)
+    state, bp = randomized_reset(mix_env, sampler, 32, key)
+    assert bp.model_idx.dtype == jnp.int32
+    idx_before = np.asarray(bp.model_idx)
+    policy = lambda obs, k: jnp.full((32, 1), -0.95, jnp.float64)
+    _, bp2, _ = jax.jit(
+        lambda s, b, k: randomized_rollout(mix_env, sampler, policy, s, b, k, 9)
+    )(state, bp, key)
+    assert not np.array_equal(np.asarray(bp2.model_idx), idx_before)
+    assert set(np.asarray(bp2.model_idx)).issubset(set(range(len(GROWTH_MODELS))))
