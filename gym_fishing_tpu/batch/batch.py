@@ -107,7 +107,7 @@ def batched_step(
 
     new_state = BatchState(env=env_state, episode_return=next_ret, episode_length=next_len)
     # Surface the (completed-or-running) episode stats of *this* step.
-    ts_out = _TimeStepWithStats(ts, ep_ret, ep_len)
+    ts_out = _rollout_step(ts, ep_ret, ep_len)
     return new_state, ts_out
 
 
@@ -126,7 +126,7 @@ class RolloutStep:
     episode_length: Any
 
 
-def _TimeStepWithStats(ts: TimeStep, ep_ret, ep_len):
+def _rollout_step(ts: TimeStep, ep_ret, ep_len):
     return RolloutStep(
         obs=ts.obs,
         action=None,
