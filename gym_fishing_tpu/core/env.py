@@ -106,9 +106,14 @@ class Env:
         x2 = apply_process_noise(cfg.noise_form, params, mu, x1, xi)
         x_next = jnp.maximum(x2, jnp.zeros((), dtype))
 
-        reward = params.price * hv - params.cost * quota * quota
+        collapsed = x_next <= 0.0
+        reward = (
+            params.price * hv
+            - params.cost * quota * quota
+            - jnp.where(collapsed, params.collapse_penalty, jnp.zeros((), dtype))
+        )
         t_next = state.t + 1
-        done = (t_next >= params.Tmax) | (x_next <= 0.0)
+        done = (t_next >= params.Tmax) | collapsed
 
         if cfg.scheme != "relative":
             new_h = hv

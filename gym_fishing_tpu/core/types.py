@@ -100,6 +100,10 @@ class EnvParams:
     # growth-model-uncertainty variant: index into GROWTH_MODELS, used only
     # when EnvConfig.growth == "mixture" (int32; per-instance when batched)
     model_idx: Any = _field(0)
+    # penalty subtracted from reward when the stock collapses to 0 this step
+    # (SURVEY.md §2.3 step 5 "possibly with a terminal penalty, TBV";
+    # default 0 = reference-pinned behavior)
+    collapse_penalty: Any = _field(0.0)
 
     def replace(self, **kw) -> "EnvParams":
         return dataclasses.replace(self, **kw)

@@ -24,7 +24,7 @@ enum Scheme { CONTINUOUS = 0, PROPORTIONAL, RELATIVE };
 /* params layout (doubles), matching gym_fishing_tpu.core.types.EnvParams:
  * 0:r 1:K 2:sigma 3:sigma_m 4:price 5:cost 6:init_state 7:init_harvest
  * 8:Tmax 9:action_scale 10:A 11:B 12:C 13:theta 14:a 15:b 16:q
- * 17:n_actions */
+ * 17:n_actions 18:collapse_penalty */
 #define P_R 0
 #define P_K 1
 #define P_SIGMA 2
@@ -43,7 +43,8 @@ enum Scheme { CONTINUOUS = 0, PROPORTIONAL, RELATIVE };
 #define P_B_MAY 15
 #define P_Q 16
 #define P_N_ACTIONS 17
-#define NPARAMS 18
+#define P_COLLAPSE_PENALTY 18
+#define NPARAMS 19
 
 static const double REL_MULT[3] = {1.0, 1.2, 0.8};
 
@@ -108,6 +109,7 @@ int64_t oracle_rollout(
                                          : mu * exp(params[P_SIGMA] * xis[i]);
     double xn = x2 > 0.0 ? x2 : 0.0;
     double reward = params[P_PRICE] * hv - params[P_COST] * quota * quota;
+    if (xn <= 0.0) reward -= params[P_COLLAPSE_PENALTY];
     t += 1;
     int done = (t >= (int64_t)params[P_TMAX]) || (xn <= 0.0);
     if (scheme != RELATIVE) h = hv;
@@ -159,7 +161,8 @@ void oracle_step_batch(
     double x2 = (noise_form == ADDITIVE) ? mu + params[P_SIGMA] * x1 * xis[i]
                                          : mu * exp(params[P_SIGMA] * xis[i]);
     double xn = x2 > 0.0 ? x2 : 0.0;
-    out_reward[i] = params[P_PRICE] * hv - params[P_COST] * quota * quota;
+    out_reward[i] = params[P_PRICE] * hv - params[P_COST] * quota * quota
+                    - (xn <= 0.0 ? params[P_COLLAPSE_PENALTY] : 0.0);
     t[i] += 1;
     out_done[i] = (uint8_t)((t[i] >= (int64_t)params[P_TMAX]) || (xn <= 0.0));
     if (scheme != RELATIVE) h[i] = hv;

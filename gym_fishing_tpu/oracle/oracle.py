@@ -61,6 +61,8 @@ class OracleConfig:
     q: float = 2.0
     # mixture (model-uncertainty) variant: index into GROWTH_MODELS
     model_idx: int = 0
+    # penalty on the collapse step (TBV -> pinned default 0)
+    collapse_penalty: float = 0.0
 
     def __post_init__(self) -> None:
         if self.growth not in GROWTH_MODELS + (MIXTURE,):
@@ -169,6 +171,8 @@ def step_xi(
         x2 = mu * math.exp(cfg.sigma * xi)
     x_next = max(x2, 0.0)
     reward = cfg.price * hv - cfg.cost * quota * quota
+    if x_next <= 0.0:
+        reward -= cfg.collapse_penalty
     t_next = state.t + 1
     done = (t_next >= cfg.Tmax) or (x_next <= 0.0)
     if cfg.scheme != "relative":

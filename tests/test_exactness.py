@@ -171,3 +171,24 @@ def test_episode_return_exactness():
     done_idx = int(np.argmax(o["done"])) if o["done"].any() else len(actions) - 1
     orc_ret = float(o["reward"][: done_idx + 1].sum())
     assert eng_ret == pytest.approx(orc_ret, abs=1e-12)
+
+
+def test_collapse_penalty_all_implementations():
+    """collapse_penalty applies on the collapse step in engine, NumPy oracle,
+    and C oracle identically (pinned addendum, ORACLE_SEMANTICS.md)."""
+    cfg = orc.OracleConfig(sigma=0.0, collapse_penalty=2.5)
+    st = orc.reset(cfg)
+    a = orc.get_action(cfg, st, 2.0)  # harvest everything -> collapse
+    _, _, r_py, done, _ = orc.step_xi(cfg, st, a, 0.0)
+    assert done and r_py == pytest.approx(0.75 - 2.5, abs=1e-12)
+
+    env, params = engine_env(cfg)
+    state = env.reset(params)
+    _, ts = env.step_xi(params, state, jnp.asarray(a, jnp.float64), 0.0, 0.0)
+    assert float(ts.reward) == pytest.approx(r_py, abs=1e-12)
+
+    from gym_fishing_tpu.native import COracle, available
+
+    if available():
+        c = COracle(cfg).rollout_xi([a], np.zeros(1))
+        assert c["reward"][0] == r_py
