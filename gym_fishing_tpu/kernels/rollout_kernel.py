@@ -41,7 +41,7 @@ POLICIES = ("escapement", "constant_mortality", "constant")
 
 # scalar vector layout (SMEM):
 #  0:r 1:K 2:sigma 3:policy_param 4:price 5:Tmax 6:init_state 7:seed
-#  8:A 9:B 10:C 11:theta 12:a 13:b 14:q 15:(pad)
+#  8:A 9:B 10:C 11:theta 12:a 13:b 14:q 15:collapse_penalty
 
 
 def _uniform_from_bits(bits):
@@ -125,9 +125,10 @@ def _rollout_kernel(
         else:  # lognormal
             x2 = mu * jnp.exp(sigma * z)
         x_next = jnp.maximum(x2, 0.0)
-        rew = rew + price * hv
+        collapsed = x_next <= 0.0
+        rew = rew + price * hv - jnp.where(collapsed, s[15], 0.0)
         t_next = t + 1
-        done = (t_next >= Tmax) | (x_next <= 0.0)
+        done = (t_next >= Tmax) | collapsed
         x_next = jnp.where(done, x_init, x_next)
         t_next = jnp.where(done, 0, t_next)
         return x_next, t_next, rew
@@ -217,6 +218,6 @@ def make_scalars(params, policy_param, seed: int) -> jax.Array:
         params.r, params.K, params.sigma, policy_param, params.price,
         params.Tmax, params.init_state, seed,
         params.A, params.B, params.C, params.theta,
-        params.a, params.b, params.q, 0.0,
+        params.a, params.b, params.q, params.collapse_penalty,
     ]
     return jnp.asarray([float(v) for v in vals], jnp.float32)

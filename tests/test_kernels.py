@@ -137,3 +137,14 @@ def test_sharded_pallas_rollout_matches_unsharded_sigma0():
     np.testing.assert_allclose(np.asarray(xs), np.asarray(xu), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(ts_), np.asarray(tu))
     np.testing.assert_allclose(np.asarray(rs), np.asarray(ru), atol=1e-5)
+
+
+def test_kernel_collapse_penalty():
+    env, params = gft.make(
+        "fishing-v1", dtype=jnp.float32, sigma=0.0, collapse_penalty=2.5
+    )
+    stock0 = jnp.full((B,), 0.75, jnp.float32)
+    # constant quota 2.0 harvests everything on step 1 -> collapse + penalty
+    kx, kt, krew = run_kernel(env, params, "constant", 2.0, 2, stock0)
+    xx, xt, xrew = xla_reference(env, params, lambda x: jnp.full_like(x, 2.0), 2, stock0)
+    np.testing.assert_allclose(np.asarray(krew), np.asarray(xrew), atol=2e-5)
