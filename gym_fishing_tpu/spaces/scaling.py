@@ -43,7 +43,7 @@ def decode_action(cfg: EnvConfig, p: EnvParams, carried_harvest, action):
         quota = (a + 1.0) * p.K * p.action_scale
         return quota, carried_harvest
     if cfg.scheme == "proportional":
-        a = action.astype(p.K.dtype if hasattr(p.K, "dtype") else jnp.float32)
+        a = action.astype(jnp.result_type(p.K))
         quota = a / cfg.n_actions * p.K
         return quota, carried_harvest
     if cfg.scheme == "relative":
