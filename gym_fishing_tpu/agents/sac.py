@@ -113,16 +113,20 @@ def buffer_init(cap: int, obs_dim: int, act_dim: int) -> ReplayBuffer:
 
 
 def buffer_add(buf: ReplayBuffer, obs, action, reward, next_obs, done) -> ReplayBuffer:
-    """Vectorized wrapped insert of a batch of transitions (in-graph)."""
+    """Vectorized wrapped insert of a batch of transitions (in-graph).
+
+    Values are cast to the buffer dtypes so x64-mode envs (the exactness
+    test configuration) scatter cleanly into the float32 storage.
+    """
     B = obs.shape[0]
     cap = buf.obs.shape[0]
     idx = (buf.ptr + jnp.arange(B, dtype=jnp.int32)) % cap
     return ReplayBuffer(
-        obs=buf.obs.at[idx].set(obs),
-        action=buf.action.at[idx].set(action),
-        reward=buf.reward.at[idx].set(reward),
-        next_obs=buf.next_obs.at[idx].set(next_obs),
-        done=buf.done.at[idx].set(done),
+        obs=buf.obs.at[idx].set(obs.astype(buf.obs.dtype)),
+        action=buf.action.at[idx].set(action.astype(buf.action.dtype)),
+        reward=buf.reward.at[idx].set(reward.astype(buf.reward.dtype)),
+        next_obs=buf.next_obs.at[idx].set(next_obs.astype(buf.next_obs.dtype)),
+        done=buf.done.at[idx].set(done.astype(buf.done.dtype)),
         ptr=(buf.ptr + B) % cap,
         size=jnp.minimum(buf.size + B, cap),
     )
