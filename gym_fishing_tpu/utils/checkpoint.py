@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -37,6 +38,14 @@ def _flatten_with_paths(tree) -> Tuple[Dict[str, np.ndarray], List[str]]:
     return flat, key_paths
 
 
+def _treedef_str(tree) -> str:
+    """Stable treedef fingerprint: pytree aux data may embed bound methods /
+    closures (e.g. flax TrainState.apply_fn, optax transforms) whose reprs
+    carry process-specific memory addresses — mask them so a checkpoint
+    restores across processes."""
+    return re.sub(r"0x[0-9a-f]+", "0x?", str(jax.tree.structure(tree)))
+
+
 def save_checkpoint(path: str, tree: Any, step: int = 0) -> str:
     """Save a pytree to `<path>/ckpt_<step>.npz` (+ meta sidecar)."""
     os.makedirs(path, exist_ok=True)
@@ -45,7 +54,7 @@ def save_checkpoint(path: str, tree: Any, step: int = 0) -> str:
     np.savez(fname, **flat)
     meta = {
         "step": step,
-        "treedef": str(jax.tree.structure(tree)),
+        "treedef": _treedef_str(tree),
         "key_paths": key_paths,
     }
     with open(os.path.join(path, f"ckpt_{step}.meta.json"), "w") as f:
@@ -78,17 +87,24 @@ def restore_checkpoint(path: str, target: Any, step: Optional[int] = None) -> Tu
     data = np.load(fname)
     with open(os.path.join(path, f"ckpt_{step}.meta.json")) as f:
         meta = json.load(f)
-    if meta["treedef"] != str(jax.tree.structure(target)):
+    if meta["treedef"] != _treedef_str(target):
         raise ValueError(
             "checkpoint structure mismatch: "
-            f"saved {meta['treedef']} != target {jax.tree.structure(target)}"
+            f"saved {meta['treedef']} != target {_treedef_str(target)}"
         )
     key_paths = set(meta.get("key_paths", []))
     paths, treedef = jax.tree_util.tree_flatten_with_path(target)
     leaves = []
-    for path_entry, _ in paths:
+    for path_entry, template_leaf in paths:
         key = "/".join(str(p) for p in path_entry)
         arr = jnp.asarray(data[key])
+        tshape = jnp.shape(template_leaf)
+        if key not in key_paths and arr.shape != tshape:
+            raise ValueError(
+                f"checkpoint shape mismatch at {key!r}: "
+                f"saved {arr.shape} != target {tshape} "
+                "(e.g. restoring into a model/buffer built with different sizes)"
+            )
         if key in key_paths:
             arr = jax.random.wrap_key_data(arr)
         leaves.append(arr)

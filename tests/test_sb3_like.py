@@ -79,3 +79,46 @@ def test_randomized_dynamics_use_instance_params():
     x = 0.75
     expected = x + np.asarray(bparams.r) * x * (1 - x / np.asarray(bparams.K))
     np.testing.assert_allclose(np.asarray(state2.env.stock), expected, atol=1e-12)
+
+
+def test_sac_td3_facades_learn_predict_save_load(tmp_path):
+    from gym_fishing_tpu.agents import SAC, TD3
+
+    for cls, name in [(SAC, "sac"), (TD3, "td3")]:
+        model = cls("MlpPolicy", "fishing-v1", seed=1,
+                    num_envs=16, buffer_size=1024, batch_size=64)
+        model.learn(total_timesteps=16 * 30)
+        assert model.num_timesteps == 16 * 30
+        obs = np.zeros((5, 1), np.float32)
+        action, _ = model.predict(obs)
+        assert action.shape == (5, 1)
+        assert np.all((action >= -1.0) & (action <= 1.0))
+
+        model.save(str(tmp_path / name))
+        loaded = cls.load(str(tmp_path / name), env="fishing-v1",
+                          num_envs=16, buffer_size=1024, batch_size=64)
+        assert loaded.num_timesteps == model.num_timesteps
+        a1, _ = model.predict(obs)
+        a2, _ = loaded.predict(obs)
+        np.testing.assert_array_equal(a1, a2)
+
+
+def test_dqn_facade_learn_predict_save_load(tmp_path):
+    from gym_fishing_tpu.agents import DQN
+
+    model = DQN("MlpPolicy", "fishing-v0", seed=2,
+                num_envs=16, buffer_size=1024, batch_size=64)
+    model.learn(total_timesteps=16 * 30)
+    obs = np.zeros((5, 1), np.float32)
+    action, state = model.predict(obs)
+    assert action.shape == (5,) and action.dtype == np.int32
+    assert np.all((action >= 0) & (action < 3))
+    # relative scheme: predict threads the carried harvest via the state slot
+    assert state is not None
+
+    model.save(str(tmp_path / "dqn"))
+    loaded = DQN.load(str(tmp_path / "dqn"), env="fishing-v0",
+                      num_envs=16, buffer_size=1024, batch_size=64)
+    a1, _ = model.predict(obs)
+    a2, _ = loaded.predict(obs)
+    np.testing.assert_array_equal(a1, a2)
