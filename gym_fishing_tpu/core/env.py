@@ -102,7 +102,9 @@ class Env:
         quota, new_h = decode_action(cfg, params, state.harvest, action)
         hv = jnp.minimum(x, quota)
         x1 = x - hv
-        mu = get_growth_fn(cfg.growth)(params, x1)
+        # non-stationary drift: effective r at step t (identity when drift=0)
+        p_g = params.replace(r=params.r + params.r_drift * state.t.astype(dtype))
+        mu = get_growth_fn(cfg.growth)(p_g, x1)
         x2 = apply_process_noise(cfg.noise_form, params, mu, x1, xi)
         x_next = jnp.maximum(x2, jnp.zeros((), dtype))
 

@@ -77,6 +77,9 @@ class EnvParams:
     """
 
     r: Any = _field(0.3)
+    # non-stationary variant: effective growth rate at step t is
+    # r + r_drift * t (reference family's non-stationary env; reconstructed)
+    r_drift: Any = _field(0.0)
     K: Any = _field(1.0)
     sigma: Any = _field(0.05)
     sigma_m: Any = _field(0.0)

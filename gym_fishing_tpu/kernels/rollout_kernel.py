@@ -36,12 +36,12 @@ from gym_fishing_tpu.core.types import GROWTH_MODELS, NOISE_FORMS
 
 LANES = 128
 TWO_PI = 6.283185307179586
-NUM_SCALARS = 16
+NUM_SCALARS = 17
 POLICIES = ("escapement", "constant_mortality", "constant")
 
 # scalar vector layout (SMEM):
 #  0:r 1:K 2:sigma 3:policy_param 4:price 5:Tmax 6:init_state 7:seed
-#  8:A 9:B 10:C 11:theta 12:a 13:b 14:q 15:collapse_penalty
+#  8:A 9:B 10:C 11:theta 12:a 13:b 14:q 15:collapse_penalty 16:r_drift
 
 
 def _uniform_from_bits(bits):
@@ -56,9 +56,12 @@ def _uniform_from_bits(bits):
     return 2.0 - pltpu.bitcast(fbits, jnp.float32)
 
 
-def _growth(growth: str, s, x):
-    """Static-specialized growth update (ORACLE_SEMANTICS.md table), f32."""
-    r, K = s[0], s[1]
+def _growth(growth: str, s, x, r):
+    """Static-specialized growth update (ORACLE_SEMANTICS.md table), f32.
+
+    `r` is passed explicitly (possibly a per-env tile): the non-stationary
+    variant drifts it per step as s[0] + s[16] * t."""
+    K = s[1]
     if growth == "logistic":
         return x + r * x * (1.0 - x / K)
     if growth == "ricker":
@@ -119,7 +122,8 @@ def _rollout_kernel(
         quota = _quota(policy, s, x)
         hv = jnp.minimum(x, quota)
         x1 = x - hv
-        mu = _growth(growth, s, x1)
+        r_eff = s[0] + s[16] * t.astype(jnp.float32)
+        mu = _growth(growth, s, x1, r_eff)
         if noise_form == "additive":
             x2 = mu + sigma * x1 * z
         else:  # lognormal
@@ -218,6 +222,6 @@ def make_scalars(params, policy_param, seed: int) -> jax.Array:
         params.r, params.K, params.sigma, policy_param, params.price,
         params.Tmax, params.init_state, seed,
         params.A, params.B, params.C, params.theta,
-        params.a, params.b, params.q, params.collapse_penalty,
+        params.a, params.b, params.q, params.collapse_penalty, params.r_drift,
     ]
     return jnp.asarray([float(v) for v in vals], jnp.float32)

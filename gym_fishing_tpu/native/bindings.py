@@ -28,7 +28,7 @@ SCHEME_IDX = {name: i for i, name in enumerate(DECODE_SCHEMES)}
 PARAM_ORDER = (
     "r", "K", "sigma", "sigma_m", "price", "cost", "init_state",
     "init_harvest", "Tmax", "action_scale", "A", "B", "C", "theta",
-    "a", "b", "q", "n_actions", "collapse_penalty",
+    "a", "b", "q", "n_actions", "collapse_penalty", "r_drift",
 )
 
 _lib: Optional[ctypes.CDLL] = None

@@ -24,7 +24,7 @@ enum Scheme { CONTINUOUS = 0, PROPORTIONAL, RELATIVE };
 /* params layout (doubles), matching gym_fishing_tpu.core.types.EnvParams:
  * 0:r 1:K 2:sigma 3:sigma_m 4:price 5:cost 6:init_state 7:init_harvest
  * 8:Tmax 9:action_scale 10:A 11:B 12:C 13:theta 14:a 15:b 16:q
- * 17:n_actions 18:collapse_penalty */
+ * 17:n_actions 18:collapse_penalty 19:r_drift */
 #define P_R 0
 #define P_K 1
 #define P_SIGMA 2
@@ -44,12 +44,15 @@ enum Scheme { CONTINUOUS = 0, PROPORTIONAL, RELATIVE };
 #define P_Q 16
 #define P_N_ACTIONS 17
 #define P_COLLAPSE_PENALTY 18
-#define NPARAMS 19
+#define P_R_DRIFT 19
+#define NPARAMS 20
 
 static const double REL_MULT[3] = {1.0, 1.2, 0.8};
 
-static double growth_fn(int growth, const double *p, double x) {
-  double r = p[P_R], K = p[P_K];
+/* r is passed explicitly: the non-stationary variant drifts it per step
+ * (r_eff = p[P_R] + p[P_R_DRIFT] * t). */
+static double growth_fn(int growth, const double *p, double r, double x) {
+  double K = p[P_K];
   switch (growth) {
     case LOGISTIC:
       return x + r * x * (1.0 - x / K);
@@ -104,7 +107,8 @@ int64_t oracle_rollout(
     /* harvest, growth, noise */
     double hv = x < quota ? x : quota;
     double x1 = x - hv;
-    double mu = growth_fn(growth, params, x1);
+    double r_eff = params[P_R] + params[P_R_DRIFT] * (double)t;
+    double mu = growth_fn(growth, params, r_eff, x1);
     double x2 = (noise_form == ADDITIVE) ? mu + params[P_SIGMA] * x1 * xis[i]
                                          : mu * exp(params[P_SIGMA] * xis[i]);
     double xn = x2 > 0.0 ? x2 : 0.0;
@@ -157,7 +161,8 @@ void oracle_step_batch(
     }
     double hv = x[i] < quota ? x[i] : quota;
     double x1 = x[i] - hv;
-    double mu = growth_fn(growth, params, x1);
+    double r_eff = params[P_R] + params[P_R_DRIFT] * (double)t[i];
+    double mu = growth_fn(growth, params, r_eff, x1);
     double x2 = (noise_form == ADDITIVE) ? mu + params[P_SIGMA] * x1 * xis[i]
                                          : mu * exp(params[P_SIGMA] * xis[i]);
     double xn = x2 > 0.0 ? x2 : 0.0;

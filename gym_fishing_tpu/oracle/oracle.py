@@ -37,6 +37,7 @@ class OracleConfig:
     scheme: str = "continuous"
 
     r: float = 0.3
+    r_drift: float = 0.0  # effective r at step t = r + r_drift * t
     K: float = 1.0
     sigma: float = 0.05
     sigma_m: float = 0.0
@@ -164,7 +165,11 @@ def step_xi(
     quota, new_h = decode(cfg, state, action)
     hv = min(state.stock, quota)
     x1 = state.stock - hv
-    mu = growth(cfg, x1)
+    cfg_t = (
+        dataclasses.replace(cfg, r=cfg.r + cfg.r_drift * state.t)
+        if cfg.r_drift != 0.0 else cfg
+    )
+    mu = growth(cfg_t, x1)
     if cfg.noise_form == "additive":
         x2 = mu + cfg.sigma * x1 * xi
     else:  # lognormal

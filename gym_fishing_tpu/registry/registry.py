@@ -105,6 +105,11 @@ def _register_all() -> None:
     p_obs = EnvParams().replace(r=0.75, sigma=0.05, sigma_m=0.05)
     register("fishing-may-obs-v0", EnvConfig(scheme="relative", growth="may"), p_obs)
     register("fishing-may-obs-v1", EnvConfig(scheme="continuous", growth="may"), p_obs)
+    # Non-stationary variant: productivity declines linearly, r 0.3 -> 0.1
+    # over the default 100-step horizon (r_eff = r + r_drift * t).
+    p_ns = EnvParams().replace(r_drift=-0.002)
+    register("fishing-nonstationary-v0", EnvConfig(scheme="relative"), p_ns)
+    register("fishing-nonstationary-v1", EnvConfig(scheme="continuous"), p_ns)
 
 
 _register_all()

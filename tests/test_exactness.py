@@ -192,3 +192,23 @@ def test_collapse_penalty_all_implementations():
     if available():
         c = COracle(cfg).rollout_xi([a], np.zeros(1))
         assert c["reward"][0] == r_py
+
+
+def test_nonstationary_drift_exactness():
+    """Non-stationary variant (r_eff = r + r_drift * t): engine == oracle,
+    and the drift measurably changes the trajectory."""
+    cfg = orc.OracleConfig(growth="logistic", r_drift=-0.002, sigma=0.05)
+    actions, xis, etas = make_streams(cfg, 60, seed=11)
+    compare(cfg, actions, xis, etas)
+    cfg0 = dataclasses.replace(cfg, r_drift=0.0)
+    o_d = orc.rollout_xi(cfg, actions, xis, etas)
+    o_0 = orc.rollout_xi(cfg0, actions, xis, etas)
+    assert np.max(np.abs(np.asarray(o_d["stock"]) - np.asarray(o_0["stock"]))) > 1e-4
+
+
+def test_nonstationary_registry_id():
+    env, params = gft.make("fishing-nonstationary-v1", dtype=jnp.float64)
+    assert float(np.asarray(params.r_drift)) == -0.002
+    cfg = orc.OracleConfig(growth="logistic", r_drift=-0.002)
+    actions, xis, etas = make_streams(cfg, 40, seed=12)
+    compare(cfg, actions, xis, etas)

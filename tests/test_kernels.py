@@ -148,3 +148,19 @@ def test_kernel_collapse_penalty():
     kx, kt, krew = run_kernel(env, params, "constant", 2.0, 2, stock0)
     xx, xt, xrew = xla_reference(env, params, lambda x: jnp.full_like(x, 2.0), 2, stock0)
     np.testing.assert_allclose(np.asarray(krew), np.asarray(xrew), atol=2e-5)
+
+
+def test_kernel_nonstationary_drift_matches_engine_sigma0():
+    env, params = gft.make(
+        "fishing-nonstationary-v1", dtype=jnp.float32, sigma=0.0, Tmax=13
+    )
+    rng = np.random.default_rng(4)
+    stock0 = jnp.asarray(rng.uniform(0.3, 1.2, B), jnp.float32)
+    S = 0.5
+    kx, kt, krew = run_kernel(env, params, "escapement", S, 30, stock0)
+    xx, xt, xrew = xla_reference(
+        env, params, lambda x: jnp.maximum(x - S, 0.0), 30, stock0
+    )
+    np.testing.assert_allclose(np.asarray(kx), np.asarray(xx), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(kt), np.asarray(xt))
+    np.testing.assert_allclose(np.asarray(krew), np.asarray(xrew), atol=2e-5)

@@ -93,3 +93,14 @@ def test_c_oracle_throughput_sane():
         co.step_batch(x, h, t, actions, xis)
     c_rate = B * T / (time.perf_counter() - t0)
     assert c_rate > 1e6  # >1M steps/s on one core (Python oracle: ~1e5)
+
+
+def test_c_oracle_nonstationary_drift():
+    cfg = orc.OracleConfig(growth="ricker", scheme="continuous",
+                           sigma=0.06, r_drift=-0.002)
+    actions, xis, etas = streams(cfg, 50, seed=9)
+    py = orc.rollout_xi(cfg, actions, xis, etas)
+    c = COracle(cfg).rollout_xi(actions, xis, etas)
+    n = len(c["stock"])
+    for k in ("stock", "obs", "reward", "harvest", "quota"):
+        np.testing.assert_array_equal(py[k][:n], c[k], err_msg=k)
