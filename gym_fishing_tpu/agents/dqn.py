@@ -80,7 +80,8 @@ def make_dqn_state(env: Env, cfg: DQNConfig, key: jax.Array,
         env_params = env.params()
     n_actions = env.config.n_actions
     net = QNetwork(n_actions, cfg.hidden)
-    obs0 = jnp.zeros((1, 2), jnp.float32)
+    obs_dim = env.observation_space.shape[0] + 1  # + carried-harvest feature
+    obs0 = jnp.zeros((1, obs_dim), jnp.float32)
     q = TrainState.create(
         apply_fn=net.apply, params=net.init(key, obs0), tx=optax.adam(cfg.lr)
     )
@@ -89,7 +90,7 @@ def make_dqn_state(env: Env, cfg: DQNConfig, key: jax.Array,
     return DQNState(
         q=q,
         target_params=q.params,
-        buffer=buffer_init(cfg.buffer_size, obs_dim=2, act_dim=1),
+        buffer=buffer_init(cfg.buffer_size, obs_dim=obs_dim, act_dim=1),
         env_state=bstate,
         obs=_augment(env_params, obs, bstate.env.harvest),
         step=jnp.asarray(0, jnp.int32),

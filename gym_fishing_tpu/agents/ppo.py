@@ -144,7 +144,8 @@ def make_train_state(
         hidden=cfg.hidden,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
     )
-    obs0 = jnp.zeros((1, 1), jnp.float32)
+    obs_dim = env.observation_space.shape[0]
+    obs0 = jnp.zeros((1, obs_dim), jnp.float32)
     net_params = net.init(key, obs0)
     if cfg.anneal_lr:
         total_updates = cfg.total_iterations * cfg.epochs * cfg.num_minibatches

@@ -160,7 +160,7 @@ def make_sac_state(env: Env, cfg: SACConfig, key: jax.Array,
     if env_params is None:
         env_params = env.params()
     k_a, k_c = jax.random.split(key)
-    obs_dim, act_dim = 1, 1
+    obs_dim, act_dim = env.observation_space.shape[0], 1
     actor_net = SquashedGaussianActor(act_dim, cfg.hidden)
     critic_net = DoubleCritic(cfg.hidden)
     obs0 = jnp.zeros((1, obs_dim), jnp.float32)

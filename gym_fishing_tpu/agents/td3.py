@@ -73,7 +73,7 @@ def make_td3_state(env: Env, cfg: TD3Config, key: jax.Array,
     if env_params is None:
         env_params = env.params()
     k_a, k_c = jax.random.split(key)
-    obs_dim, act_dim = 1, 1
+    obs_dim, act_dim = env.observation_space.shape[0], 1
     actor_net = DeterministicActor(act_dim, cfg.hidden)
     critic_net = DoubleCritic(cfg.hidden)
     obs0 = jnp.zeros((1, obs_dim), jnp.float32)

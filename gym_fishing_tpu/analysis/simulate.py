@@ -30,7 +30,11 @@ from gym_fishing_tpu.spaces.scaling import stock_from_obs
 
 def _traj_to_df(env, params, obs, actions, rewards, Tmax: int, reps: int) -> pd.DataFrame:
     """Stacked [T, reps, ...] arrays -> tidy long DataFrame."""
-    stock = np.asarray(stock_from_obs(params, jnp.asarray(obs)))  # [T, reps]
+    obs = jnp.asarray(obs)
+    if obs.shape[-1] > 1:
+        # windowed observations (ObsStackEnv): latest entry is current
+        obs = obs[..., -1:]
+    stock = np.asarray(stock_from_obs(params, obs))  # [T, reps]
     actions = np.asarray(actions)
     if actions.ndim == 3:  # continuous (T, reps, 1)
         actions = actions[..., 0]
