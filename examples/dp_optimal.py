@@ -41,11 +41,21 @@ def main():
     print(f"V(init={float(np.asarray(params.init_state)):.2f}) = "
           f"{np.interp(float(np.asarray(params.init_state)), np.asarray(sol.grid), np.asarray(sol.V)):.3f}")
 
+    from gym_fishing_tpu.agents import policy_evaluation
+
+    x0 = float(np.asarray(params.init_state))
+    mdp = None
     for name, pol in [("dp", pol_dp), ("msy", msy(env, params)),
                       ("escapement", escapement(env, params))]:
         df = simulate_mdp(env, pol, reps=args.reps, params=params)
         ret = df.groupby("rep").reward.sum()
-        print(f"{name:12s} mean return {ret.mean():8.3f}  (sd {ret.std():.3f})")
+        V_pi, mdp = policy_evaluation(
+            env, pol.quota, params, gamma=args.gamma,
+            n_states=args.n_states, n_quotas=args.n_quotas, mdp=mdp,
+        )
+        v0 = np.interp(x0, np.asarray(mdp.grid), np.asarray(V_pi))
+        print(f"{name:12s} mean return {ret.mean():8.3f}  (sd {ret.std():.3f})"
+              f"   exact discounted value V^pi({x0:.2f}) = {v0:.3f}")
 
     if args.out:
         import matplotlib

@@ -1,4 +1,12 @@
-from gym_fishing_tpu.agents.dp import MDP, DPSolution, build_mdp, dp, finite_horizon, value_iteration
+from gym_fishing_tpu.agents.dp import (
+    MDP,
+    DPSolution,
+    build_mdp,
+    dp,
+    finite_horizon,
+    policy_evaluation,
+    value_iteration,
+)
 from gym_fishing_tpu.agents.dqn import DQNConfig, DQNPolicy, dqn_train
 from gym_fishing_tpu.agents.policies import escapement, msy, surplus_production_msy, user_action
 from gym_fishing_tpu.agents.ppo import PPOConfig, PPOPolicy, train

@@ -265,6 +265,62 @@ def finite_horizon(
     return Vs[::-1], pols[::-1], mdp
 
 
+def policy_evaluation(
+    env: Env,
+    policy_quota,
+    params: Optional[EnvParams] = None,
+    *,
+    gamma: float = 0.99,
+    tol: float = 1e-9,
+    max_iters: int = 100_000,
+    n_states: int = 256,
+    n_quotas: int = 128,
+    x_max: Optional[float] = None,
+    mdp: Optional[MDP] = None,
+):
+    """Exact discounted value V^pi of a quota rule (no Monte Carlo).
+
+    ``policy_quota`` is either a callable ``stock -> quota`` (e.g.
+    ``msy(env, params).quota`` or ``escapement(env, params).quota``) or an
+    array of per-state quotas on the MDP grid. Each state's quota snaps to
+    the nearest level of the quota grid; the evaluation then iterates
+    ``V = R_pi + gamma * P_pi V`` to the fixed point under lax.while_loop.
+
+    Returns ``(V, mdp)`` — interpolate V on ``mdp.grid`` for arbitrary
+    stocks.
+    """
+    if not (0.0 < gamma < 1.0):
+        raise ValueError("policy_evaluation requires 0 < gamma < 1")
+    if mdp is None:
+        mdp = build_mdp(env, params, n_states=n_states, n_quotas=n_quotas, x_max=x_max)
+    S = mdp.grid.shape[0]
+    dtype = mdp.R.dtype
+    q = jnp.asarray(policy_quota(mdp.grid) if callable(policy_quota) else policy_quota, dtype)
+    if q.shape != (S,):
+        raise ValueError(f"policy quota must have shape ({S},), got {q.shape}")
+    a_idx = jnp.argmin(jnp.abs(q[:, None] - mdp.quotas[None, :]), axis=-1)  # [S]
+    sel = jnp.arange(S)
+    P_pi = mdp.P[a_idx, sel, :]   # [S, S]
+    R_pi = mdp.R[a_idx, sel]      # [S]
+    g = jnp.asarray(gamma, dtype)
+    stop = jnp.asarray(tol * (1.0 - gamma) / gamma, dtype)
+
+    def cond(carry):
+        _, resid, i = carry
+        return (resid > stop) & (i < max_iters)
+
+    def body(carry):
+        V, _, i = carry
+        Vn = (R_pi + g * (P_pi @ V)).at[0].set(0.0)
+        return Vn, jnp.max(jnp.abs(Vn - V)), i + 1
+
+    V, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((S,), dtype), jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32)),
+    )
+    return V, mdp
+
+
 class dp(_PolicyBase):
     """Optimal DP policy with the sb3 ``.predict`` contract.
 

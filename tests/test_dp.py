@@ -105,3 +105,28 @@ def test_dp_predict_contract_and_mixture_rejection():
     env_m, params_m = gft.make("fishing-mixture-v1")
     with pytest.raises(ValueError, match="mixture"):
         build_mdp(env_m, params_m)
+
+
+def test_policy_evaluation_matches_optimal_and_mc():
+    from gym_fishing_tpu.agents import policy_evaluation
+
+    env, params = gft.make("fishing-v1", sigma=0.0)
+    gamma = 0.99
+    sol = value_iteration(env, params, gamma=gamma, n_states=257, n_quotas=257)
+    # evaluating the optimal policy recovers the optimal value function
+    V_opt, mdp = policy_evaluation(
+        env, sol.policy_quota, params, gamma=gamma, n_states=257, n_quotas=257
+    )
+    np.testing.assert_allclose(np.asarray(V_opt), np.asarray(sol.V), atol=1e-3)
+    # a strictly worse policy evaluates strictly below the optimum somewhere
+    V_msy, _ = policy_evaluation(
+        env, msy(env, params).quota, params, gamma=gamma, mdp=mdp
+    )
+    assert np.all(np.asarray(V_msy) <= np.asarray(sol.V) + 1e-6)
+    # closed form: escapement from 0.75 harvests 0.25 now, then the MSY
+    # surplus rK/4 = 0.075 every step forever -> 0.25 + 0.075 * g/(1-g)
+    V_esc, _ = policy_evaluation(
+        env, escapement(env, params).quota, params, gamma=gamma, mdp=mdp
+    )
+    v0 = np.interp(0.75, np.asarray(mdp.grid), np.asarray(V_esc))
+    assert v0 == pytest.approx(0.25 + 0.075 * gamma / (1 - gamma), rel=0.01)
