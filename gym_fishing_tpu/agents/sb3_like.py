@@ -4,8 +4,9 @@ Reference workloads train via sb3: `PPO("MlpPolicy", env).learn(300_000)` then
 `env.simulate(model)` (reference: README usage, SURVEY.md §3.5;
 reconstructed). These facades reproduce that workflow verbatim on the TPU
 engine — no torch, no host round-trips in the rollout — so reference users
-can port scripts by changing only the import. `SAC`, `TD3` (continuous) and
-`DQN` (discrete) get the same surface over the off-policy learners.
+can port scripts by changing only the import. `A2C` shares the on-policy
+surface; `SAC`, `TD3` (continuous) and `DQN` (discrete) get the same surface
+over the off-policy learners.
 
     from gym_fishing_tpu.agents.sb3_like import PPO
     model = PPO("MlpPolicy", "fishing-v1", num_envs=4096)
@@ -24,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gym_fishing_tpu.agents.a2c import A2CConfig, a2c_train_step, make_a2c_state
 from gym_fishing_tpu.agents.dqn import DQNConfig, DQNPolicy, dqn_train_step, make_dqn_state
 from gym_fishing_tpu.agents.ppo import (
     PPOConfig,
@@ -56,6 +58,10 @@ def _resolve_env(env) -> Tuple[Env, EnvParams]:
 class PPO:
     """sb3-compatible surface: __init__(policy, env), learn, predict, save/load."""
 
+    _cfg_cls = PPOConfig
+    _make_ts = staticmethod(make_train_state)
+    _train_step = staticmethod(train_step)
+
     def __init__(
         self,
         policy: str = "MlpPolicy",
@@ -67,14 +73,15 @@ class PPO:
         if policy != "MlpPolicy":
             raise ValueError("only MlpPolicy is supported (reference parity)")
         self.env, self.env_params = _resolve_env(env)
-        self.cfg = PPOConfig(**ppo_kwargs)
+        self.cfg = self._cfg_cls(**ppo_kwargs)
         self.verbose = verbose
         self._key = jax.random.key(seed)
         self._key, k_init = jax.random.split(self._key)
-        self.train_state = make_train_state(self.env, self.cfg, k_init)
+        self.train_state = self._make_ts(self.env, self.cfg, k_init)
         self._bstate = batched_reset(self.env, self.env_params, self.cfg.num_envs)
+        step_fn = type(self)._train_step
         self._jit_step = jax.jit(
-            lambda ts, b, k: train_step(self.env, self.env_params, self.cfg, ts, b, k)
+            lambda ts, b, k: step_fn(self.env, self.env_params, self.cfg, ts, b, k)
         )
         self.num_timesteps = 0
         self.history: list = []
@@ -142,6 +149,14 @@ class PPO:
         model._key = restored["rng_key"]
         model.num_timesteps = int(restored["step"])
         return model
+
+
+class A2C(PPO):
+    """sb3-style A2C: same on-policy surface, single unclipped RMSProp update."""
+
+    _cfg_cls = A2CConfig
+    _make_ts = staticmethod(make_a2c_state)
+    _train_step = staticmethod(a2c_train_step)
 
 
 class _OffPolicyAlgo:
