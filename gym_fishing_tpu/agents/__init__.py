@@ -9,6 +9,7 @@ from gym_fishing_tpu.agents.dp import (
 )
 from gym_fishing_tpu.agents.a2c import A2CConfig, A2CPolicy, a2c_train
 from gym_fishing_tpu.agents.dqn import DQNConfig, DQNPolicy, dqn_train
+from gym_fishing_tpu.agents.es import ESConfig, ESPolicy, es_train
 from gym_fishing_tpu.agents.policies import escapement, msy, surplus_production_msy, user_action
 from gym_fishing_tpu.agents.ppo import PPOConfig, PPOPolicy, train
 from gym_fishing_tpu.agents.ppo_rnn import RecurrentPPOPolicy, RPPOConfig
