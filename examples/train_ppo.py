@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""Train PPO on fishing-v1 and compare against the closed-form baselines.
+"""Train PPO (or A2C) on fishing-v1 and compare against the closed-form
+baselines.
 
 Reference-parity workflow (reference: README sb3 usage; reconstructed):
 
     python examples/train_ppo.py --env fishing-v1 --timesteps 4000000
+    python examples/train_ppo.py --algo a2c --timesteps 8000000
 
 Produces ppo_fishing/{sim.csv, mdp.png, policy.png} + a learning-curve plot,
 and prints the trained return vs the MSY / constant-escapement baselines.
@@ -21,6 +23,7 @@ import argparse
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", default="fishing-v1")
+    ap.add_argument("--algo", choices=["ppo", "a2c"], default="ppo")
     ap.add_argument("--timesteps", type=int, default=2_000_000)
     ap.add_argument("--num-envs", type=int, default=4096)
     ap.add_argument("--num-steps", type=int, default=128)
@@ -33,7 +36,7 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
     import gym_fishing_tpu as gft
-    from gym_fishing_tpu.agents import PPO, escapement, msy
+    from gym_fishing_tpu.agents import A2C, PPO, escapement, msy
     from gym_fishing_tpu.analysis import (
         estimate_policyfn,
         plot_mdp,
@@ -43,7 +46,8 @@ def main():
     )
 
     env, params = gft.make(args.env, sigma=args.sigma)
-    model = PPO(
+    algo_cls = {"ppo": PPO, "a2c": A2C}[args.algo]
+    model = algo_cls(
         "MlpPolicy",
         (env, params),
         num_envs=args.num_envs,
@@ -62,7 +66,7 @@ def main():
     dfp = estimate_policyfn(env, model.policy, reps=1, n=100, params=params)
     plot_policyfn(dfp, os.path.join(args.out, "policy.png"))
 
-    ppo_ret = df.groupby("rep").reward.sum().mean()
+    trained_ret = df.groupby("rep").reward.sum().mean()
     msy_ret = (
         simulate_mdp(env, msy(env, params), reps=10, params=params)
         .groupby("rep").reward.sum().mean()
@@ -71,8 +75,8 @@ def main():
         simulate_mdp(env, escapement(env, params), reps=10, params=params)
         .groupby("rep").reward.sum().mean()
     )
-    print(f"mean episode return: PPO={ppo_ret:.3f}  msy={msy_ret:.3f}  "
-          f"escapement={esc_ret:.3f}")
+    print(f"mean episode return: {args.algo}={trained_ret:.3f}  "
+          f"msy={msy_ret:.3f}  escapement={esc_ret:.3f}")
 
 
 if __name__ == "__main__":

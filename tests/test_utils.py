@@ -46,6 +46,32 @@ def test_checkpoint_roundtrip_training_tuple(tmp_path):
     assert float(a_m["loss"]) == float(b_m["loss"])
 
 
+def test_checkpoint_orbax_backend_roundtrip(tmp_path):
+    """Same training tuple through the orbax backend, including PRNG keys."""
+    pytest.importorskip("orbax.checkpoint")
+    env, params = gft.make("fishing-v0", sigma=0.05)
+    cfg = PPOConfig(num_envs=16, num_steps=4, epochs=1, num_minibatches=1)
+    key = jax.random.key(3)
+    ts = make_train_state(env, cfg, key)
+    bstate = batched_reset(env, params, cfg.num_envs)
+    ckpt = {"params": ts.params, "opt_state": ts.opt_state, "env_state": bstate,
+            "rng_key": key, "step": jnp.asarray(7)}
+    save_checkpoint(str(tmp_path), ckpt, step=7, backend="orbax")
+
+    restored, got_step = restore_checkpoint(str(tmp_path), ckpt, backend="orbax")
+    assert got_step == 7
+    for a, b in zip(jax.tree.leaves(ckpt, is_leaf=lambda x: hasattr(x, "dtype")),
+                    jax.tree.leaves(restored, is_leaf=lambda x: hasattr(x, "dtype"))):
+        if jnp.issubdtype(jnp.asarray(a).dtype, jax.dtypes.prng_key):
+            a, b = jax.random.key_data(a), jax.random.key_data(b)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored key is a usable typed key
+    jax.random.split(restored["rng_key"])
+
+    with pytest.raises(ValueError):
+        restore_checkpoint(str(tmp_path), {"nope": jnp.ones(2)}, backend="orbax")
+
+
 def test_checkpoint_structure_mismatch_raises(tmp_path):
     save_checkpoint(str(tmp_path), {"a": jnp.ones(3)}, step=0)
     with pytest.raises(ValueError):
