@@ -21,6 +21,11 @@ numbered variants are TBV, so we use descriptive ids; both -v0 discrete and
 fishing-myers-v0/1, fishing-may-v0/1, fishing-may-obs-v0/1`` (May tipping
 point + lognormal observation noise, BASELINE config #4).
 
+Numbered aliases reconstruct the reference's numbered registry (map TBV,
+pinned in ``_register_all``): ``fishing-v2`` (obs error), ``fishing-v4``
+(Allen) … ``fishing-v10`` (model-uncertainty mixture); each is the continuous
+form of its descriptive id.
+
 `make(id, **overrides)` mirrors `gym.make(id, sigma=0.1, ...)`: overrides are
 split between static config keys (growth/noise_form/scheme/n_actions) and
 EnvParams fields.
@@ -110,6 +115,27 @@ def _register_all() -> None:
     p_ns = EnvParams().replace(r_drift=-0.002)
     register("fishing-nonstationary-v0", EnvConfig(scheme="relative"), p_ns)
     register("fishing-nonstationary-v1", EnvConfig(scheme="continuous"), p_ns)
+
+    # Numbered alias ids. The reference registers its growth/noise variants
+    # under numbered ids (reference: gym_fishing/__init__.py; reconstructed —
+    # SURVEY.md §2.1 marks the exact number<->class map TBV, so this map is
+    # pinned here and each alias also exists under its descriptive id above).
+    # fishing-v3 is deliberately absent (no known reference env behind it).
+    for alias, target in {
+        "fishing-v2": "fishing-v1",             # + observation error, below
+        "fishing-v4": "fishing-allen-v1",
+        "fishing-v5": "fishing-beverton-holt-v1",
+        "fishing-v6": "fishing-may-v1",
+        "fishing-v7": "fishing-myers-v1",
+        "fishing-v8": "fishing-ricker-v1",
+        "fishing-v9": "fishing-nonstationary-v1",
+        "fishing-v10": "fishing-mixture-v1",
+    }.items():
+        config, params = _REGISTRY[target]
+        if alias == "fishing-v2":
+            # observation-error variant of the flagship logistic env
+            params = params.replace(sigma_m=0.05)
+        register(alias, config, params)
 
 
 _register_all()

@@ -89,3 +89,32 @@ def test_dtype_follows_params():
     env, p64 = gft.make("fishing-v1", dtype=jnp.float64)
     s = env.reset(p64)
     assert s.stock.dtype == jnp.float64
+
+
+def test_numbered_aliases_match_descriptive_ids():
+    """Each reconstructed numbered id is the same env as its descriptive id."""
+    import jax
+
+    pairs = {
+        "fishing-v4": "fishing-allen-v1",
+        "fishing-v5": "fishing-beverton-holt-v1",
+        "fishing-v6": "fishing-may-v1",
+        "fishing-v7": "fishing-myers-v1",
+        "fishing-v8": "fishing-ricker-v1",
+        "fishing-v9": "fishing-nonstationary-v1",
+        "fishing-v10": "fishing-mixture-v1",
+    }
+    key = jax.random.key(0)
+    for alias, target in pairs.items():
+        ea, pa = gft.make(alias)
+        et, pt = gft.make(target)
+        assert ea.config == et.config
+        sa, st = ea.reset(pa), et.reset(pt)
+        action = jnp.zeros((1,), pa.dtype)
+        (sa2, tsa), (st2, tst) = ea.step(pa, sa, action, key), et.step(pt, st, action, key)
+        assert float(tsa.reward) == float(tst.reward)
+        assert float(sa2.stock) == float(st2.stock)
+    # v2 = flagship logistic + observation error
+    e2, p2 = gft.make("fishing-v2")
+    assert e2.config == gft.make("fishing-v1")[0].config
+    assert float(p2.sigma_m) > 0.0
