@@ -126,12 +126,19 @@ def estimate_policyfn(
     reps: int = 1,
     n: int = 50,
     params: Optional[EnvParams] = None,
+    harvest: Optional[float] = None,
 ) -> pd.DataFrame:
     """Evaluate the policy over a grid of states (reference parity).
 
     Returns tidy columns ``[state, action, rep]`` — the policy's action at
     each of `n` stock levels in [0, 2K], repeated `reps` times (stochastic
     policies vary per rep; closed-form ones don't).
+
+    For the 3-action *relative* decode scheme the policy is a function of
+    (stock, carried harvest), not of stock alone; `harvest` fixes the carried
+    harvest level the grid is conditioned on (default: params.init_harvest).
+    It is passed to `.predict` as the sb3 recurrent `state`, which is how the
+    baseline policies carry it. Ignored for the other schemes.
     """
     if params is None:
         params = env.params()
@@ -139,9 +146,13 @@ def estimate_policyfn(
     obs_grid = np.asarray(
         jnp.clip(jnp.asarray(stocks) / params.K - 1.0, -1.0, 1.0)
     )[:, None]
+    pstate0 = None
+    if env.config.scheme == "relative":
+        h = float(np.asarray(params.init_harvest)) if harvest is None else float(harvest)
+        pstate0 = np.full((n,), h, dtype=np.asarray(params.init_harvest).dtype)
     rows = []
     for rep in range(reps):
-        action, _ = model.predict(obs_grid, state=None)
+        action, _ = model.predict(obs_grid, state=pstate0)
         a = np.asarray(action)
         if a.ndim == 2:
             a = a[:, 0]

@@ -120,6 +120,7 @@ class RolloutStep:
     action: Any
     reward: Any
     done: Any
+    collapsed: Any  # done split: collapse (terminated) vs horizon (truncated)
     quota: Any
     harvest: Any
     episode_return: Any
@@ -132,6 +133,7 @@ def _rollout_step(ts: TimeStep, ep_ret, ep_len):
         action=None,
         reward=ts.reward,
         done=ts.done,
+        collapsed=ts.collapsed,
         quota=ts.quota,
         harvest=ts.harvest,
         episode_return=ep_ret,

@@ -101,8 +101,9 @@ def randomized_step(
         episode_length=jnp.where(done, 0, ep_len),
     )
     out = RolloutStep(
-        obs=obs, action=None, reward=ts.reward, done=done, quota=ts.quota,
-        harvest=ts.harvest, episode_return=ep_ret, episode_length=ep_len,
+        obs=obs, action=None, reward=ts.reward, done=done,
+        collapsed=ts.collapsed, quota=ts.quota, harvest=ts.harvest,
+        episode_return=ep_ret, episode_length=ep_len,
     )
     return new_state, bparams, out
 

@@ -123,7 +123,10 @@ class Env:
 
         measured = x_next * jnp.exp(params.sigma_m * eta)
         obs = obs_from_stock(params, measured)
-        ts = TimeStep(obs=obs, reward=reward, done=done, quota=quota, harvest=hv)
+        ts = TimeStep(
+            obs=obs, reward=reward, done=done, quota=quota, harvest=hv,
+            collapsed=collapsed,
+        )
         return new_state, ts
 
     def step(

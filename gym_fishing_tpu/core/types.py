@@ -152,11 +152,13 @@ class TimeStep:
     as a pytree; info is flattened into explicit fields for jit-friendliness).
     """
 
-    obs: Any      # shape (..., 1), in [-1, 1]
+    obs: Any        # shape (..., 1), in [-1, 1]
     reward: Any
-    done: Any     # bool
-    quota: Any    # decoded quota (info)
-    harvest: Any  # realized harvest (info)
+    done: Any       # bool: collapse OR horizon
+    quota: Any      # decoded quota (info)
+    harvest: Any    # realized harvest (info)
+    collapsed: Any  # bool: stock hit 0 this step (gymnasium "terminated";
+                    # done & ~collapsed is the horizon truncation)
 
     def replace(self, **kw) -> "TimeStep":
         return dataclasses.replace(self, **kw)

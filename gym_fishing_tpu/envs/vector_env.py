@@ -79,9 +79,10 @@ class FishingVectorEnv(_VectorBase):
         obs = np.asarray(ts.obs, np.float32)
         reward = np.asarray(ts.reward, np.float32)
         done = np.asarray(ts.done)
-        # terminated = collapse, truncated = horizon; the state was already
-        # auto-reset, so classify from the episode length at the done step
-        terminated = done & (np.asarray(ts.episode_length) < self.Tmax)
+        # terminated = collapse, truncated = horizon-only; the step carries the
+        # collapse flag out explicitly, so a collapse exactly on the Tmax-th
+        # step still classifies as terminated (matches gymnasium_compat).
+        terminated = np.asarray(ts.collapsed)
         truncated = done & ~terminated
         infos = {
             "episode_return": np.asarray(ts.episode_return, np.float32),

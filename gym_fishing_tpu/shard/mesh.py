@@ -87,7 +87,11 @@ def state_checksum(tree) -> jnp.ndarray:
     Sum-reduce every float leaf to one scalar; in SPMD every process must
     compute the same value (jit of this under the mesh all-reduces
     automatically). Compare across hosts to detect divergence.
+
+    Accumulates in the widest float actually enabled (f64 needs jax_enable_x64;
+    asking for f64 with x64 off silently downcasts to f32, so be explicit).
     """
-    leaves = [jnp.sum(x.astype(jnp.float64)) for x in jax.tree.leaves(tree)
+    acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    leaves = [jnp.sum(x.astype(acc)) for x in jax.tree.leaves(tree)
               if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)]
     return jnp.sum(jnp.stack(leaves)) if leaves else jnp.zeros(())

@@ -62,6 +62,27 @@ def test_policies_on_discrete_relative_env():
     assert df.reward.sum() > 0
 
 
+def test_estimate_policyfn_relative_scheme_uses_carried_harvest():
+    """For the relative decode the policy function is conditional on the
+    carried harvest (VERDICT r1 weak #7: it was silently evaluated at
+    init_harvest with state=None, which for predict() meant a scalar
+    broadcast, not a per-grid-point harvest)."""
+    env, params = gft.make("fishing-v0", sigma=0.0)
+    pol = escapement(env, params)
+    # tiny carried harvest: even where stock > x*, the best of {1, 1.2, 0.8}x
+    # a near-zero harvest is the increase action (1)
+    df_small = estimate_policyfn(env, pol, n=21, params=params, harvest=1e-3)
+    # huge carried harvest: the policy wants far less -> decrease action (2)
+    df_big = estimate_policyfn(env, pol, n=21, params=params, harvest=10.0)
+    assert df_small.action.isin([0, 1, 2]).all()
+    high_stock = df_small.state > 1.2
+    assert (df_small[high_stock].action == 1).all()
+    assert (df_big[high_stock].action == 2).all()
+    # default (no harvest kwarg) conditions on init_harvest and must not crash
+    df_def = estimate_policyfn(env, pol, n=21, params=params)
+    assert len(df_def) == 21
+
+
 def test_simulate_df_schema_and_plots(tmp_path):
     env, params = gft.make("fishing-v1", sigma=0.05)
     df = simulate_mdp(env, msy(env, params), reps=3, params=params)
