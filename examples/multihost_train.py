@@ -47,7 +47,7 @@ def main():
     import gym_fishing_tpu as gft
     from gym_fishing_tpu.agents.ppo import PPOConfig, make_train_state, train_step
     from gym_fishing_tpu.batch import batched_reset
-    from gym_fishing_tpu.shard import make_mesh, replicate, shard_batch
+    from gym_fishing_tpu.shard import host_local_to_global, make_mesh, replicate
 
     n_chips = jax.device_count()
     mesh = make_mesh()
@@ -56,8 +56,12 @@ def main():
         num_envs=args.num_envs_per_chip * n_chips, num_steps=args.num_steps
     )
     key = jax.random.key(0)  # same key on every process: SPMD lockstep
+    # params are host-identical -> replicate; the env batch is built as THIS
+    # host's slice only and assembled into one global sharded array (never
+    # device_put a host array onto non-addressable devices).
     ts = replicate(make_train_state(env, cfg, key), mesh)
-    bstate = shard_batch(batched_reset(env, params, cfg.num_envs), mesh)
+    local_envs = args.num_envs_per_chip * jax.local_device_count()
+    bstate = host_local_to_global(batched_reset(env, params, local_envs), mesh)
     step = jax.jit(partial(train_step, env, params, cfg))
 
     for it in range(args.iterations):

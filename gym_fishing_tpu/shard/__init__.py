@@ -3,6 +3,8 @@ from gym_fishing_tpu.shard.mesh import (
     constrain_envs,
     distributed_init,
     env_sharding,
+    host_local_to_global,
+    is_distributed_initialized,
     make_mesh,
     replicate,
     replicated,

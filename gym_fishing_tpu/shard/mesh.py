@@ -29,19 +29,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ENVS_AXIS = "envs"
 
 
+def is_distributed_initialized() -> bool:
+    """True iff `jax.distributed.initialize` has already run in this process.
+
+    Checked via the distributed client handle — NEVER via
+    `jax.process_count()`, which initializes the local backend as a side
+    effect (after which `initialize()` raises).
+    """
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+    except Exception:  # pragma: no cover - private-API drift safety net
+        return False
+
+
 def distributed_init(**kwargs) -> None:
-    """Multi-host SPMD entry: call once per host process before device use.
+    """Multi-host SPMD entry: call once per host process BEFORE any device use.
 
     Thin wrapper over `jax.distributed.initialize` — no NCCL/MPI analog
     exists or is needed; XLA collectives over ICI/DCN are the comms backend.
-    No-op when already initialized or running single-process.
+    No-op when already initialized or when no coordinator is configured
+    (single-host). Must run before anything touches the backend (including
+    `jax.devices()` / `jax.process_count()`).
+
+    kwargs: `coordinator_address`, `num_processes`, `process_id` (all
+    forwarded); coordinator may also come from $JAX_COORDINATOR. On cloud TPU
+    pods, calling with no kwargs lets JAX autodetect the cluster iff
+    $JAX_COORDINATOR is set as a hint that a cluster exists.
     """
-    if jax.process_count() > 1:
+    if is_distributed_initialized():
         return
-    coord = kwargs.get("coordinator_address") or os.environ.get("JAX_COORDINATOR")
+    coord = kwargs.pop("coordinator_address", None) or os.environ.get(
+        "JAX_COORDINATOR"
+    )
     if coord is None:
         return  # single-host
-    jax.distributed.initialize(**kwargs)
+    jax.distributed.initialize(coordinator_address=coord, **kwargs)
 
 
 def make_mesh(
@@ -66,13 +90,57 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(tree, mesh: Mesh):
-    """Place a batched pytree with the leading axis sharded over the mesh."""
+    """Place a *globally sized* batched pytree sharded over the mesh.
+
+    Single-process only: `device_put` of a host array onto a sharding that
+    spans non-addressable devices is invalid. In a multi-process program,
+    build each host's local slice and use `host_local_to_global` instead.
+    """
+    if jax.process_count() > 1:
+        raise RuntimeError(
+            "shard_batch is single-process only; build the per-host slice "
+            "and call host_local_to_global(tree, mesh) in multi-host programs"
+        )
+    return jax.device_put(tree, env_sharding(mesh))
+
+
+def host_local_to_global(tree, mesh: Mesh):
+    """Per-process local batch -> one global jax.Array per leaf.
+
+    Each process passes its OWN slice (leading axis = its share of the global
+    env count, identical layout across processes); leaves assemble into global
+    arrays sharded over the mesh's env axis via
+    `jax.make_array_from_process_local_data` — the only correct way to build a
+    sharded array spanning non-addressable devices. Degenerates to a plain
+    device_put layout under one process.
+    """
     s = env_sharding(mesh)
-    return jax.device_put(tree, s)
+    nproc = jax.process_count()
+
+    def conv(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            s, x, (x.shape[0] * nproc,) + x.shape[1:]
+        )
+
+    return jax.tree.map(conv, tree)
 
 
 def replicate(tree, mesh: Mesh):
-    return jax.device_put(tree, replicated(mesh))
+    """Replicate a (host-identical) pytree over every device of the mesh.
+
+    Multi-process safe: with >1 process the full per-host value IS the local
+    data of a fully-replicated global array.
+    """
+    s = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, s)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            s, np.asarray(x), np.shape(x)
+        ),
+        tree,
+    )
 
 
 def constrain_envs(tree, mesh: Mesh):

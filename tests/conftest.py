@@ -22,3 +22,10 @@ import jax  # noqa: E402
 # this is honored even with the plugin loaded.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running (multi-process) test")
+    config.addinivalue_line(
+        "markers", "tpu: requires real TPU hardware (skipped on CPU runs)"
+    )
