@@ -117,19 +117,22 @@ def _measure_pallas(env_id, num_envs, num_steps, iters, warmup, sigma) -> dict:
     stock = jnp.full((num_envs,), float(params.init_state), jnp.float32)
     t = jnp.zeros((num_envs,), jnp.int32)
 
-    def run(stock, t):
-        return pallas_rollout(
-            stock, t, scalars, num_steps, growth=growth, noise_form=noise_form
+    def run(stock, t, ep):
+        out = pallas_rollout(
+            stock, t, scalars, num_steps, growth=growth, noise_form=noise_form,
+            ep_ret=ep,
         )
+        return out.stock, out.t, out.ep_ret
 
+    ep = jnp.zeros((num_envs,), jnp.float32)
     for _ in range(warmup):
-        stock, t, rew = run(stock, t)
-        jax.block_until_ready((stock, t, rew))
+        stock, t, ep = run(stock, t, ep)
+        jax.block_until_ready((stock, t, ep))
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        stock, t, rew = run(stock, t)
-        jax.block_until_ready((stock, t, rew))
+        stock, t, ep = run(stock, t, ep)
+        jax.block_until_ready((stock, t, ep))
     dt = time.perf_counter() - t0
 
     total = num_envs * num_steps * iters

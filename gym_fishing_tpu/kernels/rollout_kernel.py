@@ -10,22 +10,35 @@ O(T·B) to O(B), which is the speed-of-light regime for this op (no matmuls —
 it is VPU/transcendental bound, not MXU). One Box-Muller pair feeds two env
 steps (sin+cos), halving the transcendental count — the actual bottleneck.
 
-Supports every growth model and noise form of the engine (static kernel
-specialization, like the EnvConfig closure in core.env) and the closed-form
-policies (constant escapement / constant mortality / constant quota), so
-baseline-policy evaluation sweeps run at kernel speed.
+Full engine-semantics coverage (batch.batched_step(autoreset=True) per
+ORACLE_SEMANTICS.md), statically specialized like the EnvConfig closure in
+core.env:
 
-Semantics: identical to batch.batched_step(autoreset=True) per
-ORACLE_SEMANTICS.md, *except* the RNG: the Pallas per-core PRNG + Box-Muller
-replaces threefry, so noisy trajectories match the XLA path statistically,
-not bitwise. With sigma=0 the kernel is deterministic and must match the XLA
-engine exactly (tested in tests/test_kernels.py).
+- every growth model and noise form;
+- the closed-form policies (constant escapement / constant mortality /
+  constant quota), so baseline-policy evaluation sweeps run at kernel speed;
+- reward shaping: price·harvest − cost·quota² − collapse penalty
+  (BASELINE config #3 runs on the kernel path);
+- the proportional discrete decode (`scheme="proportional"`): the policy's
+  desired quota is snapped to the n-action grid exactly as
+  spaces.scaling.encode_action∘decode_action does;
+- lognormal observation noise on the policy input (`obs_noise=True`):
+  the policy sees x·exp(sigma_m·eta), the engine's measured-stock obs;
+- per-episode return accounting across auto-resets: completed-episode return
+  sum + episode count per lane (mean episode return = sum/count), plus the
+  running return of the in-flight episode so rollouts resume exactly.
+
+The only semantic difference vs the XLA engine is the RNG: the Pallas
+per-core PRNG + Box-Muller replaces threefry, so noisy trajectories match the
+XLA path statistically, not bitwise (validated on hardware by
+scripts/validate_kernel_rng.py). With sigma=0 the kernel is deterministic and
+must match the XLA engine exactly (tests/test_kernels.py).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,12 +49,25 @@ from gym_fishing_tpu.core.types import GROWTH_MODELS, NOISE_FORMS
 
 LANES = 128
 TWO_PI = 6.283185307179586
-NUM_SCALARS = 17
+NUM_SCALARS = 20
 POLICIES = ("escapement", "constant_mortality", "constant")
+SCHEMES = ("continuous", "proportional")
 
 # scalar vector layout (SMEM):
 #  0:r 1:K 2:sigma 3:policy_param 4:price 5:Tmax 6:init_state 7:seed
 #  8:A 9:B 10:C 11:theta 12:a 13:b 14:q 15:collapse_penalty 16:r_drift
+# 17:cost 18:n_actions 19:sigma_m
+
+
+class KernelRollout(NamedTuple):
+    """Per-env results of a fused T-step rollout (all shaped (B,))."""
+
+    stock: jax.Array       # f32 post-rollout stock
+    t: jax.Array           # i32 post-rollout years-passed
+    ep_ret: jax.Array      # f32 running return of the in-flight episode
+    reward: jax.Array      # f32 lifetime reward accumulated THIS call
+    ep_ret_sum: jax.Array  # f32 sum of completed-episode returns this call
+    ep_count: jax.Array    # i32 number of episodes completed this call
 
 
 def _uniform_from_bits(bits):
@@ -97,29 +123,46 @@ def _quota(policy: str, s, x):
 
 
 def _rollout_kernel(
-    scal_ref,  # SMEM (1, NUM_SCALARS) f32
-    x_ref,     # VMEM (R, 128) f32 stock
-    t_ref,     # VMEM (R, 128) i32 years passed
+    scal_ref,    # SMEM (1, NUM_SCALARS) f32
+    x_ref,       # VMEM (R, 128) f32 stock
+    t_ref,       # VMEM (R, 128) i32 years passed
+    ep0_ref,     # VMEM (R, 128) f32 running episode return carried in
     x_out_ref,
     t_out_ref,
-    rew_ref,   # VMEM (R, 128) f32 per-env accumulated reward
+    ep_out_ref,  # VMEM (R, 128) f32 running episode return carried out
+    rew_ref,     # VMEM (R, 128) f32 per-env lifetime reward (this call)
+    eps_ref,     # VMEM (R, 128) f32 completed-episode return sum
+    epc_ref,     # VMEM (R, 128) i32 completed-episode count
     *,
     num_steps: int,
     growth: str,
     noise_form: str,
     policy: str,
+    scheme: str,
+    obs_noise: bool,
 ):
     s = [scal_ref[0, i] for i in range(NUM_SCALARS)]
     sigma, price = s[2], s[4]
     Tmax = s[5].astype(jnp.int32)
     x_init = s[6]
     seed = s[7].astype(jnp.int32)
+    cost = s[17]
+    sigma_m = s[19]
 
     pltpu.prng_seed(seed + pl.program_id(0))
     shape = x_ref.shape
 
-    def step(x, t, rew, z):
-        quota = _quota(policy, s, x)
+    def step(carry, z, eta):
+        x, t, cur, rew, eps, epc = carry
+        x_obs = x * jnp.exp(sigma_m * eta) if obs_noise else x
+        quota = _quota(policy, s, x_obs)
+        if scheme == "proportional":
+            # snap to the n-action grid: encode_action∘decode_action of the
+            # engine (spaces/scaling.py): a = clip(round(q·n/K), 0, n−1),
+            # q' = a/n·K
+            n = s[18]
+            a = jnp.clip(jnp.round(quota * n / s[1]), 0.0, n - 1.0)
+            quota = a / n * s[1]
         hv = jnp.minimum(x, quota)
         x1 = x - hv
         r_eff = s[0] + s[16] * t.astype(jnp.float32)
@@ -130,39 +173,66 @@ def _rollout_kernel(
             x2 = mu * jnp.exp(sigma * z)
         x_next = jnp.maximum(x2, 0.0)
         collapsed = x_next <= 0.0
-        rew = rew + price * hv - jnp.where(collapsed, s[15], 0.0)
+        step_rew = price * hv - cost * quota * quota
+        step_rew = step_rew - jnp.where(collapsed, s[15], 0.0)
+        rew = rew + step_rew
+        cur = cur + step_rew
         t_next = t + 1
         done = (t_next >= Tmax) | collapsed
+        # episode accounting: bank the finished return, reset the running one
+        eps = eps + jnp.where(done, cur, 0.0)
+        epc = epc + done.astype(jnp.int32)
+        cur = jnp.where(done, 0.0, cur)
         x_next = jnp.where(done, x_init, x_next)
         t_next = jnp.where(done, 0, t_next)
-        return x_next, t_next, rew
+        return x_next, t_next, cur, rew, eps, epc
 
-    def body(_, carry):
-        # One Box-Muller pair (sin+cos) feeds TWO env steps — halves the
-        # transcendental count per step, the VPU bottleneck of this kernel.
-        x, t, rew = carry
+    def draw_pair():
         u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
         u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
         rad = jnp.sqrt(-2.0 * jnp.log(u1))
         theta = TWO_PI * u2
-        x, t, rew = step(x, t, rew, rad * jnp.cos(theta))
-        x, t, rew = step(x, t, rew, rad * jnp.sin(theta))
-        return x, t, rew
+        return rad * jnp.cos(theta), rad * jnp.sin(theta)
 
-    x, t, rew = jax.lax.fori_loop(
+    if obs_noise:
+        # one Box-Muller pair per step: (process xi, measurement eta)
+        def body(_, carry):
+            z, eta = draw_pair()
+            return step(carry, z, eta)
+
+        iters = num_steps
+    else:
+        # One Box-Muller pair (sin+cos) feeds TWO env steps — halves the
+        # transcendental count per step, the VPU bottleneck of this kernel.
+        def body(_, carry):
+            z1, z2 = draw_pair()
+            carry = step(carry, z1, 0.0)
+            return step(carry, z2, 0.0)
+
+        iters = num_steps // 2
+
+    zero_f = jnp.zeros(shape, jnp.float32)
+    x, t, cur, rew, eps, epc = jax.lax.fori_loop(
         0,
-        num_steps // 2,
+        iters,
         body,
-        (x_ref[:], t_ref[:], jnp.zeros(shape, jnp.float32)),
+        (x_ref[:], t_ref[:], ep0_ref[:], zero_f, zero_f,
+         jnp.zeros(shape, jnp.int32)),
     )
     x_out_ref[:] = x
     t_out_ref[:] = t
+    ep_out_ref[:] = cur
     rew_ref[:] = rew
+    eps_ref[:] = eps
+    epc_ref[:] = epc
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_steps", "rows_per_block", "growth", "noise_form", "policy", "interpret"),
+    static_argnames=(
+        "num_steps", "rows_per_block", "growth", "noise_form", "policy",
+        "scheme", "obs_noise", "interpret",
+    ),
 )
 def pallas_rollout(
     stock: jax.Array,    # (B,) f32
@@ -173,21 +243,32 @@ def pallas_rollout(
     growth: str = "logistic",
     noise_form: str = "additive",
     policy: str = "escapement",
+    scheme: str = "continuous",
+    obs_noise: bool = False,
+    ep_ret: Optional[jax.Array] = None,  # (B,) f32 in-flight episode return
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Fused T-step rollout. Returns (stock', t', per-env rewards (B,)).
+) -> KernelRollout:
+    """Fused T-step rollout; see KernelRollout for the per-env outputs.
 
-    B must be a multiple of rows_per_block * 128; num_steps must be even
-    (2-step unrolled body).
+    B must be a multiple of rows_per_block * 128. Without obs_noise,
+    num_steps must be even (2-step unrolled body). Pass the previous call's
+    `ep_ret` back in to chain rollouts with exact episode accounting.
     """
-    assert growth in GROWTH_MODELS and noise_form in NOISE_FORMS and policy in POLICIES
-    assert num_steps % 2 == 0, "num_steps must be even (2-step unrolled body)"
+    assert growth in GROWTH_MODELS and noise_form in NOISE_FORMS
+    assert policy in POLICIES and scheme in SCHEMES
+    assert obs_noise or num_steps % 2 == 0, (
+        "num_steps must be even (2-step unrolled body)"
+    )
     B = stock.shape[0]
     tile = rows_per_block * LANES
     assert B % tile == 0, f"num_envs {B} must be a multiple of {tile}"
     grid = B // tile
     x2d = stock.reshape(grid * rows_per_block, LANES)
     t2d = t.reshape(grid * rows_per_block, LANES)
+    if ep_ret is None:
+        ep2d = jnp.zeros_like(x2d)
+    else:
+        ep2d = ep_ret.reshape(grid * rows_per_block, LANES)
 
     kernel = functools.partial(
         _rollout_kernel,
@@ -195,33 +276,40 @@ def pallas_rollout(
         growth=growth,
         noise_form=noise_form,
         policy=policy,
+        scheme=scheme,
+        obs_noise=obs_noise,
     )
     blk = lambda: pl.BlockSpec(
         (rows_per_block, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    x_out, t_out, rew = pl.pallas_call(
+    f32_out = lambda: jax.ShapeDtypeStruct(x2d.shape, jnp.float32)
+    out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk(), blk()],
-        out_specs=[blk(), blk(), blk()],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk(), blk(), blk()],
+        out_specs=[blk() for _ in range(6)],
         out_shape=[
-            jax.ShapeDtypeStruct(x2d.shape, jnp.float32),
-            jax.ShapeDtypeStruct(t2d.shape, jnp.int32),
-            jax.ShapeDtypeStruct(x2d.shape, jnp.float32),
+            f32_out(),                                    # stock
+            jax.ShapeDtypeStruct(t2d.shape, jnp.int32),   # t
+            f32_out(),                                    # ep_ret (running)
+            f32_out(),                                    # lifetime reward
+            f32_out(),                                    # ep_ret_sum
+            jax.ShapeDtypeStruct(t2d.shape, jnp.int32),   # ep_count
         ],
         # bool True selects the Mosaic TPU interpreter (supports the TPU PRNG
         # primitives on CPU); the generic HLO interpreter does not.
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(scalars.reshape(1, NUM_SCALARS), x2d, t2d)
-    return x_out.reshape(B), t_out.reshape(B), rew.reshape(B)
+    )(scalars.reshape(1, NUM_SCALARS), x2d, t2d, ep2d)
+    return KernelRollout(*(o.reshape(B) for o in out))
 
 
-def make_scalars(params, policy_param, seed: int) -> jax.Array:
+def make_scalars(params, policy_param, seed: int, n_actions: int = 3) -> jax.Array:
     """Pack EnvParams + the policy scalar into the kernel's SMEM vector."""
     vals = [
         params.r, params.K, params.sigma, policy_param, params.price,
         params.Tmax, params.init_state, seed,
         params.A, params.B, params.C, params.theta,
         params.a, params.b, params.q, params.collapse_penalty, params.r_drift,
+        params.cost, n_actions, params.sigma_m,
     ]
     return jnp.asarray([float(v) for v in vals], jnp.float32)

@@ -10,13 +10,11 @@ stream).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from gym_fishing_tpu.kernels.rollout_kernel import pallas_rollout
+from gym_fishing_tpu.kernels.rollout_kernel import KernelRollout, pallas_rollout
 from gym_fishing_tpu.shard.mesh import ENVS_AXIS
 
 
@@ -27,21 +25,23 @@ def sharded_pallas_rollout(
     scalars: jax.Array,  # (NUM_SCALARS,) f32 (replicated)
     num_steps: int,
     **kernel_kw,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> KernelRollout:
     """Run the fused rollout kernel on every device's env shard."""
 
     def local(stock_shard, t_shard, scal):
         # decorrelate shards: fold the mesh position into the seed slot
         idx = jax.lax.axis_index(ENVS_AXIS).astype(jnp.float32)
         scal = scal.at[7].add(idx * 1000003.0)
-        return pallas_rollout(stock_shard, t_shard, scal, num_steps, **kernel_kw)
+        return tuple(
+            pallas_rollout(stock_shard, t_shard, scal, num_steps, **kernel_kw)
+        )
 
     f = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(ENVS_AXIS), P(ENVS_AXIS), P()),
-        out_specs=(P(ENVS_AXIS), P(ENVS_AXIS), P(ENVS_AXIS)),
+        out_specs=tuple(P(ENVS_AXIS) for _ in range(6)),
         # pallas_call out_shapes carry no varying-mesh-axes annotation
         check_vma=False,
     )
-    return f(stock, t, scalars)
+    return KernelRollout(*f(stock, t, scalars))

@@ -74,6 +74,18 @@ def make(env_id: str, dtype=jnp.float32, **overrides) -> Tuple[Env, EnvParams]:
     if unknown:
         raise TypeError(f"unknown override(s) {unknown} for {env_id!r}")
 
+    # Reference semantics: the discrete env's decode is n_actions-driven —
+    # n_actions=3 is the relative (maintain/±20%) scheme, larger n is the
+    # proportional quota grid (SURVEY.md §2.3 schemes (a)/(b)). Passing
+    # n_actions != 3 without an explicit scheme switches accordingly.
+    if (
+        "n_actions" in static
+        and "scheme" not in static
+        and config.scheme == "relative"
+        and static["n_actions"] != 3
+    ):
+        static["scheme"] = "proportional"
+
     if static:
         config = dataclasses.replace(config, **static)
     if dyn:
