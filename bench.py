@@ -8,10 +8,20 @@ vs_baseline is measured against the driver's 50M env-steps/s/chip target
 (the reference itself publishes no numbers — BASELINE.md).
 
 Options (env vars): BENCH_NUM_ENVS, BENCH_NUM_STEPS, BENCH_ITERS, BENCH_ENV.
+
+Regression gate (SURVEY.md §7.5 "steps/s regression gate"): on TPU hardware
+the measured throughput must clear a floor (BENCH_FLOOR_STEPS_PER_S; defaults
+below are ~4x under the measured headline so run-to-run variance never trips
+them, but a real regression — a kernel falling off the fused path, an
+accidental host sync — fails the run loudly with exit 1). No floor on CPU.
 """
 
 import json
 import os
+import sys
+
+# measured headlines (BENCH_NOTES.md): pallas ~16-22B, xla scan ~1.9B steps/s
+_TPU_FLOORS = {"pallas": 4e9, "xla": 4e8}
 
 
 def main() -> None:
@@ -48,6 +58,24 @@ def main() -> None:
             }
         )
     )
+
+    import jax
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    full_size = num_envs * num_steps >= (1 << 21) * 128  # floors assume load
+    floor = float(
+        os.environ.get(
+            "BENCH_FLOOR_STEPS_PER_S",
+            _TPU_FLOORS.get(res["mode"], 0.0) if (on_tpu and full_size) else 0.0,
+        )
+    )
+    if res["steps_per_s"] < floor:
+        print(
+            f"PERF REGRESSION: {res['steps_per_s']:.3e} steps/s < floor "
+            f"{floor:.3e} (mode={res['mode']})",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

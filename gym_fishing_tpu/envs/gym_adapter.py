@@ -28,7 +28,13 @@ class GymFishingEnv:
 
     metadata = {"render.modes": ["ansi"]}
 
-    def __init__(self, env_id: str = "fishing-v1", seed: int = 0, **overrides):
+    def __init__(
+        self,
+        env_id: str = "fishing-v1",
+        seed: int = 0,
+        file: Optional[str] = None,
+        **overrides,
+    ):
         self.env, self.params = registry_make(env_id, **overrides)
         self.action_space = self.env.action_space
         self.observation_space = self.env.observation_space
@@ -36,6 +42,13 @@ class GymFishingEnv:
         self._step = jax.jit(self.env.step)
         self._key = jax.random.key(seed)
         self._state = None
+        # reference-parity per-step episode log (SURVEY.md §5.5: the reference
+        # envs take a file=/CSV row-writing ctor path): every step appends one
+        # tidy row [time, state, action, reward, rep]; rep counts resets.
+        self._file = open(file, "w") if file else None
+        self._rep = -1
+        if self._file:
+            self._file.write("time,state,action,reward,rep\n")
         self.reset(seed=seed)
 
     # ------------------------------------------------------------- gym API
@@ -49,6 +62,7 @@ class GymFishingEnv:
         if seed is not None:
             self.seed(seed)
         self._state = self.env.reset(self.params)
+        self._rep += 1
         obs = np.asarray(self.env.get_obs(self.params, self._state))
         return (obs, {}) if return_info else obs
 
@@ -58,12 +72,22 @@ class GymFishingEnv:
         else:
             a = jnp.asarray(int(np.asarray(action)), jnp.int32)
         self._key, sub = jax.random.split(self._key)
+        t_pre, x_pre = int(self._state.t), float(self._state.stock)
         self._state, ts = self._step(self.params, self._state, a, sub)
         info = {
             "quota": float(ts.quota),
             "harvest": float(ts.harvest),
             "stock": float(self._state.stock),
         }
+        if self._file:
+            a_log = (
+                float(np.asarray(action).reshape(-1)[0])
+                if self.env.config.scheme == "continuous"
+                else int(np.asarray(action))
+            )
+            self._file.write(
+                f"{t_pre},{x_pre},{a_log},{float(ts.reward)},{self._rep}\n"
+            )
         return np.asarray(ts.obs), float(ts.reward), bool(ts.done), info
 
     def render(self, mode: str = "ansi"):
@@ -73,7 +97,9 @@ class GymFishingEnv:
         )
 
     def close(self):
-        pass
+        if self._file:
+            self._file.close()
+            self._file = None
 
     # -------------------------------------------- reference-parity attrs
     @property

@@ -83,6 +83,51 @@ def test_estimate_policyfn_relative_scheme_uses_carried_harvest():
     assert len(df_def) == 21
 
 
+def test_env_file_logging_writes_tidy_csv(tmp_path):
+    """Reference surface: env ctor file= path writes one row per step
+    (SURVEY §5.5; VERDICT r1 missing #4)."""
+    import pandas as pd
+
+    path = tmp_path / "episode.csv"
+    env = GymFishingEnv("fishing-v1", sigma=0.0, file=str(path))
+    env.reset(seed=0)
+    for t in range(5):
+        env.step(np.asarray([-0.5], np.float32))
+    env.reset()
+    env.step(np.asarray([-0.5], np.float32))
+    env.close()
+    df = pd.read_csv(path)
+    assert list(df.columns) == ["time", "state", "action", "reward", "rep"]
+    assert len(df) == 6
+    assert list(df.time[:5]) == [0, 1, 2, 3, 4]
+    assert set(df.rep) == {1, 2}  # ctor reset is rep 0; two manual resets
+    assert df.state.iloc[0] == pytest.approx(0.75)
+    assert (df.action == -0.5).all()
+
+
+def test_legacy_gym_shim_degrades_gracefully():
+    """Classic `gym` is not in this image: the shim module must import
+    cleanly and report that registration did not run."""
+    import gym_fishing_tpu.envs.gym_registration as reg
+
+    try:
+        import gym  # noqa: F401
+
+        assert reg.REGISTERED is True
+        env = gym.make("fishing-v1")
+        obs = env.reset()
+        out = env.step(np.asarray([-0.5], np.float32))
+        assert len(out) == 4  # classic 4-tuple protocol
+    except ImportError:
+        assert reg.REGISTERED is False
+        assert reg.register_with_gym() is False
+    # the shim class itself is usable directly either way
+    env = reg.LegacyGymFishingEnv("fishing-v0", sigma=0.0)
+    obs = env.reset()
+    obs, reward, done, info = env.step(1)
+    assert not done and "harvest" in info
+
+
 def test_simulate_df_schema_and_plots(tmp_path):
     env, params = gft.make("fishing-v1", sigma=0.05)
     df = simulate_mdp(env, msy(env, params), reps=3, params=params)

@@ -21,6 +21,22 @@ def test_measure_store_trajectory():
     assert res["steps_per_s"] > 0
 
 
+def test_weak_scaling_functional_on_virtual_mesh():
+    """weak_scaling runs on the 8-virtual-device mesh and returns a sane
+    curve (functional check only: virtual devices share 2 physical cores, so
+    efficiency here measures core contention, not interconnect — see
+    BENCH_NOTES.md 'Scaling')."""
+    from gym_fishing_tpu.bench.scaling import weak_scaling
+
+    res = weak_scaling(
+        envs_per_device=64, num_steps=8, iters=2, device_counts=[1, 2, 4, 8]
+    )
+    assert set(res["throughput"]) == {1, 2, 4, 8}
+    assert all(v > 0 for v in res["throughput"].values())
+    assert res["efficiency"][1] == 1.0
+    assert all(0 < e <= 1.5 for e in res["efficiency"].values())
+
+
 def test_time_fn():
     f = jax.jit(lambda x: (x * 2).sum())
     out = time_fn(f, jnp.ones(128), iters=3, warmup=1)
