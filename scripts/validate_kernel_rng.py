@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Hardware-gated statistical validation of the Pallas kernel's on-chip RNG
+(VERDICT r1 next-step #3 / SURVEY §7.4 statistical validation).
+
+The kernel replaces threefry with the TPU per-core PRNG + Box-Muller, so
+noisy trajectories can only match the XLA engine *distributionally*. The
+Mosaic interpreter's PRNG returns zero bits on CPU, so this MUST run on a
+real TPU; on CPU it prints SKIP and exits 0 (exit 2 with --require-tpu).
+
+Checks, at matched (B, T, sigma) with the same escapement policy, no resets:
+
+1. final-stock distribution: KS distance kernel-vs-engine, mean within
+   combined standard errors, std ratio;
+2. per-env summed-reward distribution: same;
+3. independence across envs: the std of per-tile (8x128 block) means must be
+   ~ sigma_pop/sqrt(1024); a seed-fold bug that replays one stream across
+   lanes/blocks inflates it by orders of magnitude (this is the check that
+   would catch the "correlated-stream bug" a marginal KS test can miss);
+4. lognormal-noise variant (ricker) repeats check 1.
+
+Prints one JSON line (driver-recordable) and PASS/FAIL; exit 1 on FAIL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def ks_distance(a, b) -> float:
+    import numpy as np
+
+    a = np.sort(np.asarray(a, np.float64))
+    b = np.sort(np.asarray(b, np.float64))
+    grid = np.concatenate([a, b])
+    ca = np.searchsorted(a, grid, side="right") / a.size
+    cb = np.searchsorted(b, grid, side="right") / b.size
+    return float(np.abs(ca - cb).max())
+
+
+def engine_rollout(env, params, S, B, T, seed):
+    """XLA engine: escapement-policy rollout, final stocks + summed rewards."""
+    import jax
+    import jax.numpy as jnp
+
+    from gym_fishing_tpu.batch import batched_reset, batched_step
+
+    state = batched_reset(env, params, B)
+
+    def body(carry, k):
+        st = carry
+        q = jnp.maximum(st.env.stock - S, 0.0)
+        a = jnp.clip(q / (params.K * params.action_scale) - 1.0, -1.0, 1.0)[:, None]
+        st, ts = batched_step(env, params, st, a, k, autoreset=True)
+        return st, ts.reward
+
+    keys = jax.random.split(jax.random.key(seed), T)
+    state, rews = jax.lax.scan(body, state, keys)
+    return state.env.stock, rews.sum(0)
+
+
+def kernel_rollout(env, params, S, B, T, seed):
+    from gym_fishing_tpu.kernels import make_scalars, pallas_rollout
+    import jax.numpy as jnp
+
+    out = pallas_rollout(
+        jnp.full((B,), float(params.init_state), jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        make_scalars(params, S, seed=seed),
+        T,
+        growth=env.config.growth,
+        noise_form=env.config.noise_form,
+        policy="escapement",
+    )
+    return out.stock, out.reward
+
+
+def compare(name, kern, eng, B, checks, ks_tol=0.02):
+    import numpy as np
+
+    kern = np.asarray(kern, np.float64)
+    eng = np.asarray(eng, np.float64)
+    d = ks_distance(kern, eng)
+    se = math.sqrt(kern.var() / B + eng.var() / B)
+    mean_gap_se = abs(kern.mean() - eng.mean()) / max(se, 1e-12)
+    std_ratio = float(kern.std() / max(eng.std(), 1e-12))
+    ok = d < ks_tol and mean_gap_se < 6.0 and 0.95 < std_ratio < 1.05
+    checks[name] = {
+        "ks": round(d, 5),
+        "mean_kernel": round(float(kern.mean()), 6),
+        "mean_engine": round(float(eng.mean()), 6),
+        "mean_gap_se": round(mean_gap_se, 2),
+        "std_ratio": round(std_ratio, 4),
+        "ok": bool(ok),
+    }
+    return ok
+
+
+def block_independence(stocks, B, checks, tile=8 * 128):
+    """Std of per-tile means must be ~ population std / sqrt(tile)."""
+    import numpy as np
+
+    s = np.asarray(stocks, np.float64).reshape(B // tile, tile)
+    block_means_std = float(s.mean(axis=1).std())
+    expected = float(s.std() / math.sqrt(tile))
+    ratio = block_means_std / max(expected, 1e-12)
+    ok = ratio < 3.0  # a replayed stream inflates this by ~sqrt(tile) ~ 32x
+    checks["block_independence"] = {
+        "block_means_std": round(block_means_std, 6),
+        "iid_expectation": round(expected, 6),
+        "ratio": round(ratio, 2),
+        "ok": bool(ok),
+    }
+    return ok
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--require-tpu", action="store_true")
+    ap.add_argument("-B", type=int, default=1 << 17)
+    ap.add_argument("-T", type=int, default=74)  # < Tmax=100: no auto-resets
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    import jax
+
+    if not any(d.platform == "tpu" for d in jax.devices()):
+        print(json.dumps({"kernel_rng_validation": "SKIP", "reason": "no TPU "
+                          "(Mosaic interpreter PRNG is all-zeros on CPU)"}))
+        return 2 if args.require_tpu else 0
+
+    import gym_fishing_tpu as gft
+
+    B, T, S = args.B, args.T, 0.5
+    checks = {}
+    ok = True
+
+    # 1+2+3: logistic, additive noise
+    env, params = gft.make("fishing-v1", sigma=0.05, Tmax=100)
+    ex, er = engine_rollout(env, params, S, B, T, seed=0)
+    kx, kr = kernel_rollout(env, params, S, B, T, seed=12345)
+    ok &= compare("final_stock_additive", kx, ex, B, checks)
+    ok &= compare("summed_reward_additive", kr, er, B, checks)
+    ok &= block_independence(kx, B, checks)
+
+    # 4: ricker, lognormal noise
+    env2, params2 = gft.make(
+        "fishing-ricker-v1", sigma=0.05, Tmax=100, noise_form="lognormal"
+    )
+    ex2, _ = engine_rollout(env2, params2, S, B, T, seed=1)
+    kx2, _ = kernel_rollout(env2, params2, S, B, T, seed=54321)
+    ok &= compare("final_stock_lognormal_ricker", kx2, ex2, B, checks)
+
+    print(json.dumps({
+        "kernel_rng_validation": "PASS" if ok else "FAIL",
+        "B": B, "T": T, "sigma": 0.05,
+        "checks": checks,
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
