@@ -51,6 +51,17 @@ class PPOConfig:
     # 'bfloat16' runs the MLP matmuls in bf16 (f32 params, f32 heads/loss) —
     # 2x MXU rate + half the activation HBM traffic on TPU.
     compute_dtype: str = "float32"
+    # fused_update=True runs each minibatch gradient through the Pallas
+    # fused-update kernel (kernels/ppo_update_kernel.py): activations stay in
+    # VMEM, HBM traffic per epoch drops to one read of the packed buffer.
+    # Continuous-action envs, float32 compute only (falls back loudly else).
+    fused_update: bool = False
+    # 'exact': fresh jax.random.permutation per epoch (a full sort — measured
+    # ~10 ms at N=2^21 on v5e). 'affine': index bijection i -> (a*i+b) mod N
+    # with random odd a (N a power of two), computed on the fly — an
+    # O(1)-state shuffle whose minibatches are strided samples across the
+    # (time, env) buffer; envs are iid so the mixing loss is negligible.
+    shuffle: str = "exact"
 
 
 class ActorCritic(nn.Module):
@@ -306,24 +317,105 @@ def train_step(
         rest = mb[:, obs_dim + act_dim:]
         return obs, action, rest[:, 0], rest[:, 1], rest[:, 2], rest[:, 3]
 
-    def epoch(carry, ep_key):
-        ts = carry
-        perm = jax.random.permutation(ep_key, batch_size)
-        shuffled = jnp.take(packed, perm, axis=0).reshape(
-            (cfg.num_minibatches, mb_size, packed.shape[1])
-        )
-
-        def minibatch(ts, mb):
-            grad_fn = jax.value_and_grad(
-                lambda p: ppo_loss(ts.apply_fn, p, cfg, unpack(mb), continuous),
-                has_aux=True,
+    def make_perm(ep_key):
+        if cfg.shuffle == "affine":
+            # full permutation of [0, N) as the bijection i -> (a*i+b) mod N,
+            # N a power of two and a odd (units of Z/2^k are exactly the odd
+            # residues). O(1) state, no sort: ~10 ms/epoch cheaper than
+            # jax.random.permutation at N=2^21 on v5e. uint32 wraparound is
+            # exact because N divides 2^32.
+            assert batch_size & (batch_size - 1) == 0, (
+                "shuffle='affine' needs num_envs*num_steps to be a power of 2"
             )
-            (loss, metrics), grads = grad_fn(ts.params)
-            ts = ts.apply_gradients(grads=grads)
+            ka, kb = jax.random.split(ep_key)
+            a = jax.random.randint(ka, (), 0, batch_size // 2).astype(
+                jnp.uint32) * 2 + 1
+            b = jax.random.randint(kb, (), 0, batch_size).astype(jnp.uint32)
+            i = jax.lax.iota(jnp.uint32, batch_size)
+            return (a * i + b) & jnp.uint32(batch_size - 1)
+        return jax.random.permutation(ep_key, batch_size)
+
+    if cfg.fused_update:
+        # Pallas fused-update path (kernels/ppo_update_kernel.py): the whole
+        # minibatch gradient is one kernel; Adam/clipping stay in optax.
+        # Shuffling is ZERO-COPY: minibatches are random sets of data tiles
+        # named by a scalar-prefetched tile permutation driving the kernel's
+        # BlockSpec — no random.permutation sort, no HBM row-gather (together
+        # those measured ~20 ms/epoch at N=2^21, more than the grad math).
+        # A tile is `tile` consecutive samples = a block of envs at one
+        # timestep (the [T, B] flatten is time-major and B >= tile); env
+        # instances are iid, so tile-granular shuffling loses nothing.
+        if not continuous:
+            raise NotImplementedError(
+                "fused_update supports continuous-action envs only; "
+                "use the XLA path for discrete schemes"
+            )
+        from gym_fishing_tpu.agents import ppo_fused
+
+        tile = next(
+            (t for t in (2048, 1024, 512, 256, 128) if mb_size % t == 0), None
+        )
+        if tile is None:
+            raise ValueError(
+                f"fused_update needs minibatch size {mb_size} divisible by 128"
+            )
+        num_tiles = batch_size // tile
+        tiles_per_mb = mb_size // tile
+        interpret = jax.default_backend() != "tpu"  # Mosaic interp off-TPU
+
+        packed_t = ppo_fused.pack_feature_major(packed)  # [C', N], once
+        # per-tile partial sums -> exact per-minibatch advantage stats in
+        # O(num_tiles) instead of re-reducing the gathered minibatch
+        adv_tiles = packed_t[obs_dim + act_dim + 2].reshape(num_tiles, tile)
+        tile_sum = adv_tiles.sum(axis=1)
+        tile_sumsq = (adv_tiles * adv_tiles).sum(axis=1)
+
+        def epoch(carry, ep_key):
+            ts = carry
+            tile_perm = jax.random.permutation(ep_key, num_tiles)
+
+            def minibatch(ts, i):
+                order = jax.lax.dynamic_slice(
+                    tile_perm, (i * tiles_per_mb,), (tiles_per_mb,)
+                )
+                mu = jnp.take(tile_sum, order).sum() / mb_size
+                var = jnp.take(tile_sumsq, order).sum() / mb_size - mu * mu
+                inv_std = 1.0 / (jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-8)
+                grads, metrics = ppo_fused.fused_grad(
+                    ts.params, packed_t, cfg.clip_eps, cfg.vf_coef,
+                    cfg.ent_coef, obs_dim=obs_dim, act_dim=act_dim, tile=tile,
+                    tile_order=order, adv_stats=(mu, inv_std),
+                    interpret=interpret,
+                )
+                ts = ts.apply_gradients(grads=grads)
+                return ts, metrics
+
+            ts, metrics = jax.lax.scan(
+                minibatch, ts, jnp.arange(cfg.num_minibatches)
+            )
             return ts, metrics
 
-        ts, metrics = jax.lax.scan(minibatch, ts, shuffled)
-        return ts, metrics
+    else:
+
+        def epoch(carry, ep_key):
+            ts = carry
+            shuffled = jnp.take(packed, make_perm(ep_key), axis=0).reshape(
+                (cfg.num_minibatches, mb_size, packed.shape[1])
+            )
+
+            def minibatch(ts, mb):
+                grad_fn = jax.value_and_grad(
+                    lambda p: ppo_loss(
+                        ts.apply_fn, p, cfg, unpack(mb), continuous
+                    ),
+                    has_aux=True,
+                )
+                (loss, metrics), grads = grad_fn(ts.params)
+                ts = ts.apply_gradients(grads=grads)
+                return ts, metrics
+
+            ts, metrics = jax.lax.scan(minibatch, ts, shuffled)
+            return ts, metrics
 
     ep_keys = jax.random.split(k_perm, cfg.epochs)
     ts, metrics = jax.lax.scan(epoch, ts, ep_keys)

@@ -1,0 +1,149 @@
+"""Glue between the flax ActorCritic pytree and the Pallas fused-update kernel.
+
+kernels/ppo_update_kernel.py wants feature-major weight layouts ([H,1] biases,
+feature-major [C_PAD, N] sample matrices); flax stores [in, out] kernels and
+1-D biases. The arrays are tiny (~17k floats) so the relayout is free — the
+point is that the [N, hidden] activations never exist in HBM at all.
+
+Used by agents/ppo.train_step when PPOConfig.fused_update=True; validated
+against jax.grad of agents/ppo.ppo_loss in tests/test_update_kernel.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gym_fishing_tpu.kernels.ppo_update_kernel import (
+    C_PAD,
+    NUM_SCALARS,
+    PPOGrads,
+    fused_minibatch_grad,
+)
+
+LOG_2PI_E = 2.837877066409345  # log(2*pi*e)
+
+
+def kernel_weights(params) -> tuple:
+    """Flax ActorCritic param pytree -> kernel-layout weight tuple."""
+    p = params["params"]
+    col = lambda v: v.reshape(-1, 1).astype(jnp.float32)
+    return (
+        p["pi_d1"]["kernel"].astype(jnp.float32),
+        col(p["pi_d1"]["bias"]),
+        p["pi_d2"]["kernel"].astype(jnp.float32),
+        col(p["pi_d2"]["bias"]),
+        p["pi_mean"]["kernel"].astype(jnp.float32),
+        col(p["pi_mean"]["bias"]),
+        col(p["log_std"]),
+        p["v_d1"]["kernel"].astype(jnp.float32),
+        col(p["v_d1"]["bias"]),
+        p["v_d2"]["kernel"].astype(jnp.float32),
+        col(p["v_d2"]["bias"]),
+        p["v_out"]["kernel"].astype(jnp.float32),
+        col(p["v_out"]["bias"]),
+    )
+
+
+def grads_pytree(g: PPOGrads, params, ent_coef: float):
+    """Kernel-layout gradients -> flax param pytree (same treedef as params).
+
+    The entropy term of the loss, -ent_coef * mean(sum_a(log_std + c)), is
+    data-independent for a Gaussian head; its gradient (-ent_coef per action
+    dim) is added here rather than in the kernel.
+    """
+    row = lambda v: v.reshape(-1)
+    return {
+        "params": {
+            "pi_d1": {"kernel": g.dW1p, "bias": row(g.db1p)},
+            "pi_d2": {"kernel": g.dW2p, "bias": row(g.db2p)},
+            "pi_mean": {"kernel": g.dWm, "bias": row(g.dbm)},
+            "log_std": row(g.dlog_std) - ent_coef,
+            "v_d1": {"kernel": g.dW1v, "bias": row(g.db1v)},
+            "v_d2": {"kernel": g.dW2v, "bias": row(g.db2v)},
+            "v_out": {"kernel": g.dWv, "bias": row(g.dbv)},
+        }
+    }
+
+
+def pack_feature_major(mb: jax.Array) -> jax.Array:
+    """[N, C] sample-major minibatch -> feature-major [C', N], C' padded to
+    the f32 sublane count (8) so tiles map onto VMEM with zero waste."""
+    n, c = mb.shape
+    cpad = -(-c // 8) * 8
+    out = mb.T
+    if c < cpad:
+        out = jnp.concatenate(
+            [out, jnp.zeros((cpad - c, n), out.dtype)], axis=0
+        )
+    return out
+
+
+def fused_grad(
+    params,
+    data_t: jax.Array,     # [C_PAD, N] feature-major packed samples
+    clip_eps: float,
+    vf_coef: float,
+    ent_coef: float,
+    obs_dim: int,
+    act_dim: int,
+    tile: int = 2048,
+    tile_order=None,       # (G,) i32 tile indices forming the minibatch
+    adv_stats=None,        # (mu, inv_std) over the minibatch, if known
+    interpret: bool = False,
+):
+    """Full PPO minibatch gradient + metrics via the fused kernel.
+
+    Returns (grads pytree matching `params`, metrics dict) — the same
+    quantities jax.value_and_grad(ppo_loss) produces, computed in one fused
+    pass. With `tile_order` the minibatch is the named tiles of `data_t`
+    (zero-copy shuffling — see fused_minibatch_grad); without it the whole
+    buffer is the minibatch. Advantage-normalization statistics carry no
+    parameter gradient, so computing them outside the kernel is exact; pass
+    `adv_stats` when the caller can compute them cheaply (per-tile partial
+    sums), else they are computed here over the full buffer.
+    """
+    n = data_t.shape[1]
+    if tile_order is None:
+        assert n % tile == 0
+        tile_order = jnp.arange(n // tile, dtype=jnp.int32)
+    n_mb = tile_order.shape[0] * tile
+    if adv_stats is None:
+        assert n_mb == n, "adv_stats required when tile_order subsets the data"
+        adv = data_t[obs_dim + act_dim + 2, :]
+        adv_mu = adv.mean()
+        adv_inv_std = 1.0 / (adv.std() + 1e-8)
+    else:
+        adv_mu, adv_inv_std = adv_stats
+    n = n_mb
+    scalars = jnp.stack(
+        [
+            jnp.float32(clip_eps),
+            jnp.float32(vf_coef),
+            jnp.float32(1.0 / n),
+            jnp.asarray(adv_mu, jnp.float32),
+            jnp.asarray(adv_inv_std, jnp.float32),
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+        ]
+    )
+    assert scalars.shape[0] == NUM_SCALARS
+    weights = kernel_weights(params)
+    g, met = fused_minibatch_grad(
+        data_t, tile_order, weights, scalars, obs_dim=obs_dim,
+        act_dim=act_dim, tile=min(tile, data_t.shape[1]), interpret=interpret,
+    )
+    grads = grads_pytree(g, params, ent_coef)
+    log_std = params["params"]["log_std"]
+    entropy = jnp.sum(log_std + 0.5 * LOG_2PI_E)
+    pg_loss = met[0] / n
+    v_loss = met[1] / n
+    metrics = {
+        "pg_loss": pg_loss,
+        "v_loss": v_loss,
+        "entropy": entropy,
+        "approx_kl": met[2] / n,
+        "loss": pg_loss + vf_coef * v_loss - ent_coef * entropy,
+    }
+    return grads, metrics
