@@ -56,6 +56,15 @@ class PPOConfig:
     # VMEM, HBM traffic per epoch drops to one read of the packed buffer.
     # Continuous-action envs, float32 compute only (falls back loudly else).
     fused_update: bool = False
+    # fused_rollout=True additionally replaces collect_rollout + GAE +
+    # packing with the Pallas policy-rollout kernel
+    # (kernels/policy_rollout_kernel.py): policy forward, action sampling,
+    # env dynamics, auto-reset and the GAE reverse pass all run in VMEM and
+    # emit the packed sample matrix directly. Requires fused_update,
+    # continuous scheme, scalar obs (no ObsStack), sigma_m == 0. RNG is the
+    # kernel's on-chip PRNG, so trajectories match the XLA path
+    # statistically, not bitwise.
+    fused_rollout: bool = False
     # 'exact': fresh jax.random.permutation per epoch (a full sort — measured
     # ~10 ms at N=2^21 on v5e). 'affine': index bijection i -> (a*i+b) mod N
     # with random odd a (N a power of two), computed on the fly — an
@@ -283,31 +292,57 @@ def train_step(
     """
     continuous = env.config.scheme == "continuous"
     k_roll, k_perm = jax.random.split(key)
-    bstate, obs_last, traj, last_value = collect_rollout(
-        env, env_params, cfg, ts, bstate, k_roll
-    )
-    advantages, returns = compute_gae(cfg, traj, last_value)
-
-    # flatten [T, B] -> [T*B] and pack all per-sample fields into ONE
-    # [N, C] matrix: a single row-gather shuffles the whole dataset. Gathering
-    # six separate 1-D arrays was ~20x slower on TPU (element-granularity
-    # random HBM access dominates the train step); one 2-D row gather is
-    # coalesced. Discrete actions ride as f32 (exact for small n_actions) and
-    # are cast back after the split.
-    def fl2(x):
-        x = x.reshape((-1,) + x.shape[2:])
-        return x[:, None] if x.ndim == 1 else x
-
-    obs2 = fl2(traj.obs)
-    act2 = fl2(traj.action.astype(jnp.float32))
-    obs_dim = obs2.shape[1]
-    act_dim = act2.shape[1]
-    packed = jnp.concatenate(
-        [obs2, act2, fl2(traj.logp), fl2(traj.value), fl2(advantages), fl2(returns)],
-        axis=1,
-    )
     batch_size = cfg.num_steps * cfg.num_envs
     mb_size = batch_size // cfg.num_minibatches
+
+    if cfg.fused_rollout:
+        # Pallas policy-rollout kernel: rollout + GAE + packing in VMEM.
+        if not (cfg.fused_update and continuous):
+            raise NotImplementedError(
+                "fused_rollout requires fused_update=True and a "
+                "continuous-action env"
+            )
+        if env.observation_space.shape != (1,):
+            raise NotImplementedError(
+                "fused_rollout supports scalar observations only"
+            )
+        from gym_fishing_tpu.agents import ppo_fused
+
+        roll, bstate = ppo_fused.fused_rollout_collect(
+            env, env_params, cfg, ts, bstate, k_roll,
+            interpret=jax.default_backend() != "tpu",
+        )
+        packed_t_pre = roll.packed_t
+        roll_stats = roll.stats
+        traj = None
+        obs_dim = act_dim = 1
+    else:
+        bstate, obs_last, traj, last_value = collect_rollout(
+            env, env_params, cfg, ts, bstate, k_roll
+        )
+        advantages, returns = compute_gae(cfg, traj, last_value)
+
+        # flatten [T, B] -> [T*B] and pack all per-sample fields into ONE
+        # [N, C] matrix: a single row-gather shuffles the whole dataset.
+        # Gathering six separate 1-D arrays was ~20x slower on TPU
+        # (element-granularity random HBM access dominates the train step);
+        # one 2-D row gather is coalesced. Discrete actions ride as f32
+        # (exact for small n_actions) and are cast back after the split.
+        def fl2(x):
+            x = x.reshape((-1,) + x.shape[2:])
+            return x[:, None] if x.ndim == 1 else x
+
+        obs2 = fl2(traj.obs)
+        act2 = fl2(traj.action.astype(jnp.float32))
+        obs_dim = obs2.shape[1]
+        act_dim = act2.shape[1]
+        packed = jnp.concatenate(
+            [obs2, act2, fl2(traj.logp), fl2(traj.value), fl2(advantages),
+             fl2(returns)],
+            axis=1,
+        )
+        packed_t_pre = None
+        roll_stats = None
 
     def unpack(mb):
         obs = mb[:, :obs_dim]
@@ -352,48 +387,14 @@ def train_step(
             )
         from gym_fishing_tpu.agents import ppo_fused
 
-        tile = next(
-            (t for t in (2048, 1024, 512, 256, 128) if mb_size % t == 0), None
-        )
-        if tile is None:
-            raise ValueError(
-                f"fused_update needs minibatch size {mb_size} divisible by 128"
-            )
-        num_tiles = batch_size // tile
-        tiles_per_mb = mb_size // tile
         interpret = jax.default_backend() != "tpu"  # Mosaic interp off-TPU
-
-        packed_t = ppo_fused.pack_feature_major(packed)  # [C', N], once
-        # per-tile partial sums -> exact per-minibatch advantage stats in
-        # O(num_tiles) instead of re-reducing the gathered minibatch
-        adv_tiles = packed_t[obs_dim + act_dim + 2].reshape(num_tiles, tile)
-        tile_sum = adv_tiles.sum(axis=1)
-        tile_sumsq = (adv_tiles * adv_tiles).sum(axis=1)
-
-        def epoch(carry, ep_key):
-            ts = carry
-            tile_perm = jax.random.permutation(ep_key, num_tiles)
-
-            def minibatch(ts, i):
-                order = jax.lax.dynamic_slice(
-                    tile_perm, (i * tiles_per_mb,), (tiles_per_mb,)
-                )
-                mu = jnp.take(tile_sum, order).sum() / mb_size
-                var = jnp.take(tile_sumsq, order).sum() / mb_size - mu * mu
-                inv_std = 1.0 / (jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-8)
-                grads, metrics = ppo_fused.fused_grad(
-                    ts.params, packed_t, cfg.clip_eps, cfg.vf_coef,
-                    cfg.ent_coef, obs_dim=obs_dim, act_dim=act_dim, tile=tile,
-                    tile_order=order, adv_stats=(mu, inv_std),
-                    interpret=interpret,
-                )
-                ts = ts.apply_gradients(grads=grads)
-                return ts, metrics
-
-            ts, metrics = jax.lax.scan(
-                minibatch, ts, jnp.arange(cfg.num_minibatches)
-            )
-            return ts, metrics
+        if packed_t_pre is not None:       # fused rollout already emitted it
+            packed_t = packed_t_pre
+        else:
+            packed_t = ppo_fused.pack_feature_major(packed)  # [C', N], once
+        ts, metrics = ppo_fused.fused_epoch_scan(
+            cfg, ts, packed_t, obs_dim, act_dim, k_perm, interpret=interpret
+        )
 
     else:
 
@@ -417,21 +418,38 @@ def train_step(
             ts, metrics = jax.lax.scan(minibatch, ts, shuffled)
             return ts, metrics
 
-    ep_keys = jax.random.split(k_perm, cfg.epochs)
-    ts, metrics = jax.lax.scan(epoch, ts, ep_keys)
+        ep_keys = jax.random.split(k_perm, cfg.epochs)
+        ts, metrics = jax.lax.scan(epoch, ts, ep_keys)
+
     metrics = jax.tree.map(lambda x: x.mean(), metrics)
 
-    done_f = traj.done.astype(jnp.float32)
-    n_done = done_f.sum()
-    metrics["episode_return"] = jnp.where(
-        n_done > 0, (traj.episode_return * done_f).sum() / jnp.maximum(n_done, 1), jnp.nan
-    )
-    metrics["episode_length"] = jnp.where(
-        n_done > 0,
-        (traj.episode_length.astype(jnp.float32) * done_f).sum() / jnp.maximum(n_done, 1),
-        jnp.nan,
-    )
-    metrics["mean_reward"] = traj.reward.mean()
+    if roll_stats is not None:
+        # episode stats were accumulated in-kernel (SMEM sums):
+        # [n_done, sum ep_ret@done, sum ep_len@done, sum reward]
+        n_done = roll_stats[0]
+        denom = jnp.maximum(n_done, 1.0)
+        metrics["episode_return"] = jnp.where(
+            n_done > 0, roll_stats[1] / denom, jnp.nan
+        )
+        metrics["episode_length"] = jnp.where(
+            n_done > 0, roll_stats[2] / denom, jnp.nan
+        )
+        metrics["mean_reward"] = roll_stats[3] / batch_size
+    else:
+        done_f = traj.done.astype(jnp.float32)
+        n_done = done_f.sum()
+        metrics["episode_return"] = jnp.where(
+            n_done > 0,
+            (traj.episode_return * done_f).sum() / jnp.maximum(n_done, 1),
+            jnp.nan,
+        )
+        metrics["episode_length"] = jnp.where(
+            n_done > 0,
+            (traj.episode_length.astype(jnp.float32) * done_f).sum()
+            / jnp.maximum(n_done, 1),
+            jnp.nan,
+        )
+        metrics["mean_reward"] = traj.reward.mean()
     return ts, bstate, metrics
 
 

@@ -24,6 +24,139 @@ from gym_fishing_tpu.kernels.ppo_update_kernel import (
 LOG_2PI_E = 2.837877066409345  # log(2*pi*e)
 
 
+def rollout_scalars(params, seed) -> jax.Array:
+    """EnvParams -> the policy-rollout kernel's scalar vector (traced-safe).
+
+    Same layout as kernels/rollout_kernel.make_scalars, with slot 3 carrying
+    the continuous decode constant (action_scale) and slot 18 init_harvest.
+    Unlike make_scalars this accepts traced params (jnp.stack, no float()).
+    """
+    vals = [
+        params.r, params.K, params.sigma, params.action_scale, params.price,
+        params.Tmax, params.init_state, seed, params.A, params.B, params.C,
+        params.theta, params.a, params.b, params.q, params.collapse_penalty,
+        params.r_drift, params.cost, params.init_harvest, params.sigma_m,
+    ]
+    return jnp.stack(
+        [jnp.asarray(v, jnp.float32).reshape(()) for v in vals]
+    )
+
+
+def fused_epoch_scan(cfg, ts, packed_t, obs_dim, act_dim, k_perm,
+                     interpret: bool = False, axis_name=None):
+    """cfg.epochs x cfg.num_minibatches fused-gradient updates over packed_t.
+
+    The shared core of the fused update path: zero-copy tile-shuffled
+    minibatches (see kernels/ppo_update_kernel.fused_minibatch_grad), exact
+    per-minibatch advantage statistics from per-tile partial sums, optax
+    apply. With `axis_name` (inside shard_map over a device mesh), packed_t
+    is the device-local shard: advantage statistics and gradients/metrics are
+    psum/pmean-reduced across the axis, so every device applies the identical
+    global-minibatch update and replicated params stay in sync — the fused
+    analog of the XLA path's GSPMD gradient all-reduce (SURVEY.md §2.4).
+
+    Returns (ts, metrics) with metrics stacked [epochs, num_minibatches].
+    """
+    batch_local = packed_t.shape[1]
+    mb_local = batch_local // cfg.num_minibatches
+    tile = next(
+        (t for t in (2048, 1024, 512, 256, 128) if mb_local % t == 0), None
+    )
+    if tile is None:
+        raise ValueError(
+            f"fused_update needs local minibatch size {mb_local} "
+            "divisible by 128"
+        )
+    num_tiles = batch_local // tile
+    tiles_per_mb = mb_local // tile
+    adv_tiles = packed_t[obs_dim + act_dim + 2].reshape(num_tiles, tile)
+    tile_sum = adv_tiles.sum(axis=1)
+    tile_sumsq = (adv_tiles * adv_tiles).sum(axis=1)
+
+    def epoch(ts, ep_key):
+        tile_perm = jax.random.permutation(ep_key, num_tiles)
+
+        def minibatch(ts, i):
+            order = jax.lax.dynamic_slice(
+                tile_perm, (i * tiles_per_mb,), (tiles_per_mb,)
+            )
+            s = jnp.take(tile_sum, order).sum()
+            ss = jnp.take(tile_sumsq, order).sum()
+            n = jnp.float32(mb_local)
+            if axis_name is not None:
+                s, ss, n = jax.lax.psum((s, ss, n), axis_name)
+            mu = s / n
+            var = ss / n - mu * mu
+            inv_std = 1.0 / (jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-8)
+            grads, metrics = fused_grad(
+                ts.params, packed_t, cfg.clip_eps, cfg.vf_coef, cfg.ent_coef,
+                obs_dim=obs_dim, act_dim=act_dim, tile=tile,
+                tile_order=order, adv_stats=(mu, inv_std),
+                interpret=interpret,
+            )
+            if axis_name is not None:
+                # mean over equal-size local shards == the global-minibatch
+                # gradient (adv stats above are already global)
+                grads = jax.lax.pmean(grads, axis_name)
+                metrics = jax.lax.pmean(metrics, axis_name)
+            ts = ts.apply_gradients(grads=grads)
+            return ts, metrics
+
+        return jax.lax.scan(minibatch, ts, jnp.arange(cfg.num_minibatches))
+
+    return jax.lax.scan(epoch, ts, jax.random.split(k_perm, cfg.epochs))
+
+
+def fused_rollout_collect(env, env_params, cfg, ts, bstate, key,
+                          interpret: bool = False):
+    """Run the fused policy-rollout kernel and rebuild the BatchState.
+
+    Returns (PolicyRollout, next BatchState). The kernel replaces
+    collect_rollout + compute_gae + packing for the continuous scheme; its
+    packed_t output feeds fused_grad directly.
+    """
+    from gym_fishing_tpu.batch import BatchState
+    from gym_fishing_tpu.core.types import EnvState
+    from gym_fishing_tpu.kernels.policy_rollout_kernel import (
+        pallas_policy_rollout,
+    )
+
+    num_envs = bstate.episode_return.shape[0]
+    eblk = next((e for e in (512, 256, 128) if num_envs % e == 0), None)
+    if eblk is None:
+        raise ValueError(
+            f"fused_rollout needs num_envs {num_envs} divisible by 128"
+        )
+    seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+    scalars = rollout_scalars(env_params, seed.astype(jnp.float32))
+    roll = pallas_policy_rollout(
+        bstate.env.stock.astype(jnp.float32),
+        bstate.env.t,
+        bstate.episode_return.astype(jnp.float32),
+        bstate.episode_length,
+        kernel_weights(ts.params),
+        scalars,
+        num_steps=cfg.num_steps,
+        envs_per_block=eblk,
+        growth=env.config.growth,
+        noise_form=env.config.noise_form,
+        gamma=cfg.gamma,
+        gae_lambda=cfg.gae_lambda,
+        interpret=interpret,
+    )
+    dtype = env_params.dtype
+    new_bstate = BatchState(
+        env=EnvState(
+            stock=roll.stock.astype(dtype),
+            harvest=roll.harvest.astype(dtype),
+            t=roll.t,
+        ),
+        episode_return=roll.ep_ret.astype(dtype),
+        episode_length=roll.ep_len,
+    )
+    return roll, new_bstate
+
+
 def kernel_weights(params) -> tuple:
     """Flax ActorCritic param pytree -> kernel-layout weight tuple."""
     p = params["params"]

@@ -48,6 +48,10 @@ def main():
     N = B * T
     print(f"B={B} T={T} N={N} device={jax.devices()[0].platform}")
 
+    if os.environ.get("PROFILE_SKIP_PARTS"):
+        _train_step_configs(env, env_params, cfg, ts, bstate, key, N)
+        return
+
     # --- rollout ---
     roll = jax.jit(lambda ts, bs, k: ppo.collect_rollout(env, env_params, cfg, ts, bs, k))
     dt, (bstate2, obs_last, traj, last_value) = timeit(roll, ts, bstate, key, iters=10)
@@ -125,16 +129,30 @@ def main():
     dt, _ = timeit(epochj, ts, shuffled, iters=10)
     print(f"epoch (grad+adam)  {dt*1e3:8.2f} ms")
 
-    # --- full train_step at configs ---
+    _train_step_configs(env, env_params, cfg, ts, bstate, key, N)
+
+
+def _train_step_configs(env, env_params, cfg, ts, bstate, key, N):
+    """Time full train_step at selected modes/configs.
+
+    PROFILE_MODES / PROFILE_CONFIGS select subsets so each invocation fits
+    the remote-AOT compile budget (cache persists across invocations).
+    """
     import dataclasses
-    for fused in (False, True):
-        for (e, m) in [(1, 1), (2, 2), (4, 8)]:
-            c = dataclasses.replace(
-                cfg, epochs=e, num_minibatches=m, fused_update=fused)
+    all_modes = {
+        "xla": ("xla  ", dict()),
+        "fused": ("fused", dict(fused_update=True)),
+        "full": ("full ", dict(fused_update=True, fused_rollout=True)),
+    }
+    sel = os.environ.get("PROFILE_MODES", "xla,fused,full").split(",")
+    csel = os.environ.get("PROFILE_CONFIGS", "1x1,2x2,4x8").split(",")
+    configs = [tuple(int(v) for v in c.split("x")) for c in csel]
+    for tag, kw in (all_modes[m] for m in sel):
+        for (e, m) in configs:
+            c = dataclasses.replace(cfg, epochs=e, num_minibatches=m, **kw)
             stepj = jax.jit(lambda ts, bs, k, c=c: ppo.train_step(env, env_params, c, ts, bs, k))
             dt, _ = timeit(stepj, ts, bstate, key, iters=5, warmup=1)
-            tag = "fused" if fused else "xla  "
-            print(f"train_step {tag} e{e}xm{m}  {dt*1e3:8.2f} ms   {N/dt/1e6:8.1f} M steps/s")
+            print(f"train_step {tag} e{e}xm{m}  {dt*1e3:8.2f} ms   {N/dt/1e6:8.1f} M steps/s", flush=True)
 
 
 if __name__ == "__main__":

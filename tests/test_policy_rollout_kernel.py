@@ -1,0 +1,213 @@
+"""Fused policy-rollout kernel == the XLA rollout path at z=0.
+
+On CPU the Mosaic interpreter's PRNG yields zero bits, so the kernel's
+Box-Muller draws are exactly 0 — the rollout becomes deterministic. A pure
+JAX reference loop with the same zero draws (action = mean, process noise
+xi = 0) must then reproduce every packed row (obs, action, logp, value,
+advantage, return), the final env state and the in-kernel episode stats.
+This pins the whole wiring: obs scaling, the MLP forward, the continuous
+decode, growth/noise/reward/collapse dynamics, auto-reset, and the in-kernel
+GAE reverse pass (agents/ppo.compute_gae semantics).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_fishing_tpu import registry
+from gym_fishing_tpu.agents import ppo, ppo_fused
+from gym_fishing_tpu.batch import batched_reset
+from gym_fishing_tpu.batch.batch import batched_step_xi
+from gym_fishing_tpu.core.types import EnvState
+
+LOG_2PI = 1.8378770664093453
+
+
+def _reference_rollout_z0(env, params, ts, bstate, T, gamma, lam):
+    """Pure-JAX rollout with all normal draws = 0 (action = mean, xi = 0)."""
+    B = bstate.episode_return.shape[0]
+    f32 = jnp.float32
+    state = bstate.env
+    cur_ret = bstate.episode_return.astype(f32)
+    cur_len = bstate.episode_length
+    log_std = ts.params["params"]["log_std"][0]
+    reset_state = env.reset(params)
+
+    rows = {k: [] for k in ("obs", "act", "logp", "value", "rew", "done")}
+    nd = sr = sl = srw = 0.0
+    zeros = jnp.zeros((B,), params.dtype)
+    for _ in range(T):
+        obs = jax.vmap(env.get_obs, in_axes=(None, 0))(params, state)
+        obs = obs.astype(f32)
+        (mean, _), value = ts.apply_fn(ts.params, obs)
+        action = mean                                   # z = 0
+        logp = jnp.full((B,), -log_std - 0.5 * LOG_2PI, f32)
+        state2, ts_env = batched_step_xi(
+            env, params, state, action.astype(params.dtype), zeros, zeros
+        )
+        rew = ts_env.reward.astype(f32)
+        done = ts_env.done
+        ep_ret_now = cur_ret + rew
+        ep_len_now = cur_len + 1
+        done_f = done.astype(f32)
+        nd += float(done_f.sum())
+        sr += float((ep_ret_now * done_f).sum())
+        sl += float((ep_len_now.astype(f32) * done_f).sum())
+        srw += float(rew.sum())
+        rows["obs"].append(obs[:, 0])
+        rows["act"].append(action[:, 0])
+        rows["logp"].append(logp)
+        rows["value"].append(value)
+        rows["rew"].append(rew)
+        rows["done"].append(done_f)
+        # auto-reset
+        state = jax.tree.map(
+            lambda new, init: jnp.where(
+                done.reshape(done.shape + (1,) * (new.ndim - 1)), init, new
+            ),
+            state2,
+            jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)),
+                         reset_state),
+        )
+        cur_ret = jnp.where(done, 0.0, ep_ret_now)
+        cur_len = jnp.where(done, 0, ep_len_now)
+
+    rows = {k: jnp.stack(v) for k, v in rows.items()}     # [T, B]
+    obs_T = jax.vmap(env.get_obs, in_axes=(None, 0))(params, state)
+    _, value_T = ts.apply_fn(ts.params, obs_T.astype(f32))
+    # GAE (agents/ppo.compute_gae semantics)
+    adv = jnp.zeros_like(rows["value"])
+    gae = jnp.zeros((B,), f32)
+    next_value = value_T
+    for t in range(T - 1, -1, -1):
+        nonterm = 1.0 - rows["done"][t]
+        delta = rows["rew"][t] + gamma * next_value * nonterm - rows["value"][t]
+        gae = delta + gamma * lam * nonterm * gae
+        adv = adv.at[t].set(gae)
+        next_value = rows["value"][t]
+    ret = adv + rows["value"]
+    packed_t = jnp.stack(
+        [rows[k].reshape(-1) for k in ("obs", "act", "logp", "value")]
+        + [adv.reshape(-1), ret.reshape(-1)]
+    )
+    stats = np.array([nd, sr, sl, srw], np.float32)
+    return packed_t, state, cur_ret, cur_len, stats
+
+
+@pytest.mark.parametrize(
+    "env_id,overrides",
+    [
+        ("fishing-v1", dict(sigma=0.05, Tmax=5)),
+        ("fishing-ricker-v1", dict(sigma=0.1, Tmax=6, cost=0.1, r_drift=0.01)),
+        ("fishing-may-v1", dict(sigma=0.0, Tmax=7, collapse_penalty=1.0)),
+    ],
+)
+def test_policy_rollout_kernel_matches_reference_z0(env_id, overrides):
+    env, params = registry.make(env_id, dtype=jnp.float32, **overrides)
+    cfg = ppo.PPOConfig(num_envs=256, num_steps=8, hidden=32)
+    key = jax.random.key(0)
+    ts = ppo.make_train_state(env, cfg, key)
+    # jitter params so towers differ; keep log_std real
+    ts = ts.replace(
+        params=jax.tree.map(
+            lambda x: x + 0.03 * jnp.cos(jnp.arange(x.size, dtype=jnp.float32)
+                                         ).reshape(x.shape),
+            ts.params,
+        )
+    )
+    bstate = batched_reset(env, params, cfg.num_envs)
+    # desynchronize instances so auto-reset hits different steps per env
+    bstate = bstate.replace(
+        env=EnvState(
+            stock=bstate.env.stock
+            * (0.5 + jnp.linspace(0, 1, cfg.num_envs, dtype=jnp.float32)),
+            harvest=bstate.env.harvest,
+            t=(jnp.arange(cfg.num_envs) % int(params.Tmax)).astype(jnp.int32),
+        ),
+        episode_length=(jnp.arange(cfg.num_envs) % int(params.Tmax)).astype(
+            jnp.int32
+        ),
+    )
+
+    T = cfg.num_steps
+    ref_packed, ref_state, ref_ret, ref_len, ref_stats = (
+        _reference_rollout_z0(env, params, ts, bstate, T, cfg.gamma,
+                              cfg.gae_lambda)
+    )
+
+    roll, new_bstate = ppo_fused.fused_rollout_collect(
+        env, params, cfg, ts, bstate, key, interpret=True
+    )
+
+    names = ("obs", "action", "logp", "value", "advantage", "return")
+    for r, name in enumerate(names):
+        np.testing.assert_allclose(
+            np.asarray(roll.packed_t[r]), np.asarray(ref_packed[r]),
+            rtol=2e-5, atol=1e-5, err_msg=f"packed row {name} ({env_id})",
+        )
+    np.testing.assert_allclose(
+        np.asarray(new_bstate.env.stock), np.asarray(ref_state.stock),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_bstate.env.t), np.asarray(ref_state.t)
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_bstate.episode_return), np.asarray(ref_ret),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_bstate.episode_length), np.asarray(ref_len)
+    )
+    np.testing.assert_allclose(
+        np.asarray(roll.stats), ref_stats, rtol=1e-5, atol=1e-4
+    )
+
+
+def test_fused_rollout_train_step_smoke():
+    """Full fused pipeline (rollout + update kernels) trains and stays
+    finite on CPU (interpret mode)."""
+    env, params = registry.make("fishing-v1", dtype=jnp.float32, sigma=0.05)
+    cfg = ppo.PPOConfig(
+        num_envs=128, num_steps=16, epochs=2, num_minibatches=2, hidden=32,
+        fused_update=True, fused_rollout=True,
+    )
+    ts = ppo.make_train_state(env, cfg, jax.random.key(0))
+    bstate = batched_reset(env, params, cfg.num_envs)
+    step = jax.jit(
+        lambda ts, bs, k: ppo.train_step(env, params, cfg, ts, bs, k)
+    )
+    for i in range(2):
+        ts, bstate, metrics = step(ts, bstate, jax.random.key(i))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["mean_reward"]))
+    assert all(
+        np.all(np.isfinite(np.asarray(v))) for v in jax.tree.leaves(ts.params)
+    )
+
+
+def test_fused_rollout_requires_fused_update():
+    env, params = registry.make("fishing-v1", dtype=jnp.float32)
+    cfg = ppo.PPOConfig(
+        num_envs=128, num_steps=16, fused_rollout=True, fused_update=False
+    )
+    ts = ppo.make_train_state(env, cfg, jax.random.key(0))
+    bstate = batched_reset(env, params, cfg.num_envs)
+    with pytest.raises(NotImplementedError):
+        ppo.train_step(env, params, cfg, ts, bstate, jax.random.key(0))
+
+
+def test_rollout_scalars_traced_safe():
+    """rollout_scalars must build under jit from traced params."""
+    _, params = registry.make("fishing-v1", dtype=jnp.float32)
+
+    @jax.jit
+    def build(p):
+        return ppo_fused.rollout_scalars(p, jnp.float32(3.0))
+
+    s = build(params)
+    assert s.shape[0] == 20
+    np.testing.assert_allclose(float(s[1]), float(params.K))
