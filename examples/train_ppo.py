@@ -34,8 +34,8 @@ def main():
         "--fused", nargs="?", const="update", default="off",
         choices=["off", "update", "full"],
         help="PPO only: 'update' runs minibatch gradients through the Pallas "
-        "fused-update kernel; 'full' additionally fuses the rollout + GAE "
-        "(continuous envs; ~5-8x faster iterations on TPU)",
+        "fused-update kernel (both action heads); 'full' additionally fuses "
+        "the rollout + GAE (continuous envs; ~5-8x faster iterations on TPU)",
     )
     ap.add_argument(
         "--shuffle", choices=["exact", "affine"], default="exact",

@@ -54,16 +54,17 @@ class PPOConfig:
     # fused_update=True runs each minibatch gradient through the Pallas
     # fused-update kernel (kernels/ppo_update_kernel.py): activations stay in
     # VMEM, HBM traffic per epoch drops to one read of the packed buffer.
-    # Continuous-action envs, float32 compute only (falls back loudly else).
+    # Supports both action heads (Gaussian for the continuous scheme,
+    # categorical for the discrete decode schemes); float32 compute.
     fused_update: bool = False
     # fused_rollout=True additionally replaces collect_rollout + GAE +
     # packing with the Pallas policy-rollout kernel
-    # (kernels/policy_rollout_kernel.py): policy forward, action sampling,
-    # env dynamics, auto-reset and the GAE reverse pass all run in VMEM and
-    # emit the packed sample matrix directly. Requires fused_update,
-    # continuous scheme, scalar obs (no ObsStack), sigma_m == 0. RNG is the
-    # kernel's on-chip PRNG, so trajectories match the XLA path
-    # statistically, not bitwise.
+    # (kernels/policy_rollout_kernel.py): policy forward, action sampling
+    # (Gaussian or categorical by scheme), env dynamics, auto-reset and the
+    # GAE reverse pass all run in VMEM and emit the packed sample matrix
+    # directly. Requires fused_update, scalar obs (no ObsStack),
+    # sigma_m == 0. RNG is the kernel's on-chip PRNG, so trajectories match
+    # the XLA path statistically, not bitwise.
     fused_rollout: bool = False
     # 'exact': fresh jax.random.permutation per epoch (a full sort — measured
     # ~10 ms at N=2^21 on v5e). 'affine': index bijection i -> (a*i+b) mod N
@@ -297,10 +298,9 @@ def train_step(
 
     if cfg.fused_rollout:
         # Pallas policy-rollout kernel: rollout + GAE + packing in VMEM.
-        if not (cfg.fused_update and continuous):
+        if not cfg.fused_update:
             raise NotImplementedError(
-                "fused_rollout requires fused_update=True and a "
-                "continuous-action env"
+                "fused_rollout requires fused_update=True"
             )
         if env.observation_space.shape != (1,):
             raise NotImplementedError(
@@ -380,20 +380,21 @@ def train_step(
         # A tile is `tile` consecutive samples = a block of envs at one
         # timestep (the [T, B] flatten is time-major and B >= tile); env
         # instances are iid, so tile-granular shuffling loses nothing.
-        if not continuous:
-            raise NotImplementedError(
-                "fused_update supports continuous-action envs only; "
-                "use the XLA path for discrete schemes"
-            )
+        # Discrete envs use the kernel's categorical head: the class index
+        # rides the packed buffer as one f32 column (exact for small
+        # n_actions); act_dim passed to the kernel is the logits width.
         from gym_fishing_tpu.agents import ppo_fused
 
+        head = "gaussian" if continuous else "categorical"
+        kern_act_dim = act_dim if continuous else env.config.n_actions
         interpret = jax.default_backend() != "tpu"  # Mosaic interp off-TPU
         if packed_t_pre is not None:       # fused rollout already emitted it
             packed_t = packed_t_pre
         else:
             packed_t = ppo_fused.pack_feature_major(packed)  # [C', N], once
         ts, metrics = ppo_fused.fused_epoch_scan(
-            cfg, ts, packed_t, obs_dim, act_dim, k_perm, interpret=interpret
+            cfg, ts, packed_t, obs_dim, kern_act_dim, k_perm, head=head,
+            interpret=interpret
         )
 
     else:

@@ -43,7 +43,8 @@ def rollout_scalars(params, seed) -> jax.Array:
 
 
 def fused_epoch_scan(cfg, ts, packed_t, obs_dim, act_dim, k_perm,
-                     interpret: bool = False, axis_name=None):
+                     head: str = "gaussian", interpret: bool = False,
+                     axis_name=None):
     """cfg.epochs x cfg.num_minibatches fused-gradient updates over packed_t.
 
     The shared core of the fused update path: zero-copy tile-shuffled
@@ -69,7 +70,8 @@ def fused_epoch_scan(cfg, ts, packed_t, obs_dim, act_dim, k_perm,
         )
     num_tiles = batch_local // tile
     tiles_per_mb = mb_local // tile
-    adv_tiles = packed_t[obs_dim + act_dim + 2].reshape(num_tiles, tile)
+    na = act_dim if head == "gaussian" else 1   # packed action columns
+    adv_tiles = packed_t[obs_dim + na + 2].reshape(num_tiles, tile)
     tile_sum = adv_tiles.sum(axis=1)
     tile_sumsq = (adv_tiles * adv_tiles).sum(axis=1)
 
@@ -91,7 +93,7 @@ def fused_epoch_scan(cfg, ts, packed_t, obs_dim, act_dim, k_perm,
             grads, metrics = fused_grad(
                 ts.params, packed_t, cfg.clip_eps, cfg.vf_coef, cfg.ent_coef,
                 obs_dim=obs_dim, act_dim=act_dim, tile=tile,
-                tile_order=order, adv_stats=(mu, inv_std),
+                tile_order=order, adv_stats=(mu, inv_std), head=head,
                 interpret=interpret,
             )
             if axis_name is not None:
@@ -127,14 +129,17 @@ def fused_rollout_collect(env, env_params, cfg, ts, bstate, key,
         raise ValueError(
             f"fused_rollout needs num_envs {num_envs} divisible by 128"
         )
+    scheme = env.config.scheme
+    head = "gaussian" if scheme == "continuous" else "categorical"
     seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
     scalars = rollout_scalars(env_params, seed.astype(jnp.float32))
     roll = pallas_policy_rollout(
         bstate.env.stock.astype(jnp.float32),
         bstate.env.t,
+        bstate.env.harvest.astype(jnp.float32),
         bstate.episode_return.astype(jnp.float32),
         bstate.episode_length,
-        kernel_weights(ts.params),
+        kernel_weights(ts.params, head),
         scalars,
         num_steps=cfg.num_steps,
         envs_per_block=eblk,
@@ -142,6 +147,8 @@ def fused_rollout_collect(env, env_params, cfg, ts, bstate, key,
         noise_form=env.config.noise_form,
         gamma=cfg.gamma,
         gae_lambda=cfg.gae_lambda,
+        scheme=scheme,
+        n_actions=env.config.n_actions,
         interpret=interpret,
     )
     dtype = env_params.dtype
@@ -157,18 +164,28 @@ def fused_rollout_collect(env, env_params, cfg, ts, bstate, key,
     return roll, new_bstate
 
 
-def kernel_weights(params) -> tuple:
-    """Flax ActorCritic param pytree -> kernel-layout weight tuple."""
+def kernel_weights(params, head: str = "gaussian") -> tuple:
+    """Flax ActorCritic param pytree -> kernel-layout weight tuple.
+
+    head="categorical" maps the discrete ActorCritic (pi_logits head, no
+    log_std parameter): the kernel's log_std slot receives a zeros [A, 1]
+    placeholder it never reads on the categorical path.
+    """
     p = params["params"]
     col = lambda v: v.reshape(-1, 1).astype(jnp.float32)
+    pi_head = p["pi_mean"] if head == "gaussian" else p["pi_logits"]
+    log_std = (
+        col(p["log_std"]) if head == "gaussian"
+        else jnp.zeros((pi_head["bias"].shape[0], 1), jnp.float32)
+    )
     return (
         p["pi_d1"]["kernel"].astype(jnp.float32),
         col(p["pi_d1"]["bias"]),
         p["pi_d2"]["kernel"].astype(jnp.float32),
         col(p["pi_d2"]["bias"]),
-        p["pi_mean"]["kernel"].astype(jnp.float32),
-        col(p["pi_mean"]["bias"]),
-        col(p["log_std"]),
+        pi_head["kernel"].astype(jnp.float32),
+        col(pi_head["bias"]),
+        log_std,
         p["v_d1"]["kernel"].astype(jnp.float32),
         col(p["v_d1"]["bias"]),
         p["v_d2"]["kernel"].astype(jnp.float32),
@@ -178,25 +195,31 @@ def kernel_weights(params) -> tuple:
     )
 
 
-def grads_pytree(g: PPOGrads, params, ent_coef: float):
+def grads_pytree(g: PPOGrads, params, ent_coef: float,
+                 head: str = "gaussian"):
     """Kernel-layout gradients -> flax param pytree (same treedef as params).
 
-    The entropy term of the loss, -ent_coef * mean(sum_a(log_std + c)), is
-    data-independent for a Gaussian head; its gradient (-ent_coef per action
-    dim) is added here rather than in the kernel.
+    Gaussian: the entropy term of the loss, -ent_coef*mean(sum_a(log_std+c)),
+    is data-independent; its gradient (-ent_coef per action dim) is added
+    here rather than in the kernel. Categorical: entropy is data-dependent
+    and its gradient is already folded into dWm/dbm inside the kernel; there
+    is no log_std parameter.
     """
     row = lambda v: v.reshape(-1)
-    return {
+    pi_head = "pi_mean" if head == "gaussian" else "pi_logits"
+    tree = {
         "params": {
             "pi_d1": {"kernel": g.dW1p, "bias": row(g.db1p)},
             "pi_d2": {"kernel": g.dW2p, "bias": row(g.db2p)},
-            "pi_mean": {"kernel": g.dWm, "bias": row(g.dbm)},
-            "log_std": row(g.dlog_std) - ent_coef,
+            pi_head: {"kernel": g.dWm, "bias": row(g.dbm)},
             "v_d1": {"kernel": g.dW1v, "bias": row(g.db1v)},
             "v_d2": {"kernel": g.dW2v, "bias": row(g.db2v)},
             "v_out": {"kernel": g.dWv, "bias": row(g.dbv)},
         }
     }
+    if head == "gaussian":
+        tree["params"]["log_std"] = row(g.dlog_std) - ent_coef
+    return tree
 
 
 def pack_feature_major(mb: jax.Array) -> jax.Array:
@@ -223,6 +246,7 @@ def fused_grad(
     tile: int = 2048,
     tile_order=None,       # (G,) i32 tile indices forming the minibatch
     adv_stats=None,        # (mu, inv_std) over the minibatch, if known
+    head: str = "gaussian",
     interpret: bool = False,
 ):
     """Full PPO minibatch gradient + metrics via the fused kernel.
@@ -235,15 +259,19 @@ def fused_grad(
     parameter gradient, so computing them outside the kernel is exact; pass
     `adv_stats` when the caller can compute them cheaply (per-tile partial
     sums), else they are computed here over the full buffer.
+
+    head="categorical": `act_dim` is n_actions (the logits width); the
+    packed action field is ONE column holding the f32-encoded class index.
     """
     n = data_t.shape[1]
+    na = act_dim if head == "gaussian" else 1
     if tile_order is None:
         assert n % tile == 0
         tile_order = jnp.arange(n // tile, dtype=jnp.int32)
     n_mb = tile_order.shape[0] * tile
     if adv_stats is None:
         assert n_mb == n, "adv_stats required when tile_order subsets the data"
-        adv = data_t[obs_dim + act_dim + 2, :]
+        adv = data_t[obs_dim + na + 2, :]
         adv_mu = adv.mean()
         adv_inv_std = 1.0 / (adv.std() + 1e-8)
     else:
@@ -256,20 +284,24 @@ def fused_grad(
             jnp.float32(1.0 / n),
             jnp.asarray(adv_mu, jnp.float32),
             jnp.asarray(adv_inv_std, jnp.float32),
-            jnp.float32(0.0),
+            jnp.float32(ent_coef),
             jnp.float32(0.0),
             jnp.float32(0.0),
         ]
     )
     assert scalars.shape[0] == NUM_SCALARS
-    weights = kernel_weights(params)
+    weights = kernel_weights(params, head)
     g, met = fused_minibatch_grad(
         data_t, tile_order, weights, scalars, obs_dim=obs_dim,
-        act_dim=act_dim, tile=min(tile, data_t.shape[1]), interpret=interpret,
+        act_dim=act_dim, tile=min(tile, data_t.shape[1]), head=head,
+        interpret=interpret,
     )
-    grads = grads_pytree(g, params, ent_coef)
-    log_std = params["params"]["log_std"]
-    entropy = jnp.sum(log_std + 0.5 * LOG_2PI_E)
+    grads = grads_pytree(g, params, ent_coef, head)
+    if head == "gaussian":
+        log_std = params["params"]["log_std"]
+        entropy = jnp.sum(log_std + 0.5 * LOG_2PI_E)
+    else:
+        entropy = met[3] / n                 # data-dependent, summed in-kernel
     pg_loss = met[0] / n
     v_loss = met[1] / n
     metrics = {

@@ -44,7 +44,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gym_fishing_tpu.core.types import GROWTH_MODELS, NOISE_FORMS
+from gym_fishing_tpu.core.types import (
+    GROWTH_MODELS,
+    NOISE_FORMS,
+    RELATIVE_MULTIPLIERS,
+)
 from gym_fishing_tpu.kernels.rollout_kernel import (
     NUM_SCALARS,
     _growth,
@@ -74,7 +78,7 @@ class PolicyRollout(NamedTuple):
 
 def _policy_rollout_kernel(
     scal_ref,                    # SMEM (1, NUM_SCALARS) f32
-    x_ref, t_ref, ret_ref, len_ref,   # VMEM (1, E): f32, i32, f32, i32
+    x_ref, t_ref, hv_ref, ret_ref, len_ref,  # VMEM (1, E): f32,i32,f32,f32,i32
     w1p_ref, b1p_ref, w2p_ref, b2p_ref, wm_ref, bm_ref, ls_ref,
     w1v_ref, b1v_ref, w2v_ref, b2v_ref, wv_ref, bv_ref,
     # outputs
@@ -89,6 +93,8 @@ def _policy_rollout_kernel(
     noise_form: str,
     gamma: float,
     gae_lambda: float,
+    scheme: str,
+    n_actions: int,
 ):
     s = [scal_ref[0, i] for i in range(NUM_SCALARS)]
     K = s[1]
@@ -116,9 +122,17 @@ def _policy_rollout_kernel(
     f32 = jnp.float32
     E = x_ref.shape[1]
     shape = (1, E)
+    A = wm_ref.shape[1]          # 1 (Gaussian) or n_actions (categorical)
 
     log_std = ls_ref[0, 0]
     std = jnp.exp(log_std)
+    if scheme != "continuous":
+        # strictly-lower+diag triangular ones for the in-kernel CDF matmul
+        tri_rows = jax.lax.broadcasted_iota(jnp.int32, (A, A), 0)
+        tri_cols = jax.lax.broadcasted_iota(jnp.int32, (A, A), 1)
+        tri = (tri_rows >= tri_cols).astype(f32)
+        # Mosaic's tpu.iota is integer-only; cast after
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (A, E), 0).astype(f32)
 
     def mlp(obs, w1, b1, w2, b2, wh, bh):
         # feature-major [H, E] towers, [1, E] head (same math as the XLA
@@ -148,16 +162,54 @@ def _policy_rollout_kernel(
         packed_ref[row, pl.ds(t, 1), :] = val
 
     def body(t, carry):
-        x, tt, cur_ret, cur_len, _hv, nd, sr, sl, srw = carry
+        x, tt, cur_ret, cur_len, h_carry, nd, sr, sl, srw = carry
         obs = jnp.clip(x / K - 1.0, -1.0, 1.0)
-        mean = mlp(obs, w1p_ref, b1p_ref, w2p_ref, b2p_ref, wm_ref, bm_ref)
+        pi_out = mlp(obs, w1p_ref, b1p_ref, w2p_ref, b2p_ref, wm_ref, bm_ref)
         value = mlp(obs, w1v_ref, b1v_ref, w2v_ref, b2v_ref, wv_ref, bv_ref)
-        z_act, z_proc = draw_pair()
-        a = mean + std * z_act
-        logp = -0.5 * (z_act * z_act) - log_std - 0.5 * LOG_2PI
 
-        # continuous decode + dynamics (spaces/scaling.py, core/env.step_xi)
-        quota = (jnp.clip(a, -1.0, 1.0) + 1.0) * K * action_scale
+        if scheme == "continuous":
+            z_act, z_proc = draw_pair()
+            a = pi_out + std * z_act
+            logp = -0.5 * (z_act * z_act) - log_std - 0.5 * LOG_2PI
+            # continuous decode (spaces/scaling.py)
+            quota = (jnp.clip(a, -1.0, 1.0) + 1.0) * K * action_scale
+        else:
+            # categorical head: inverse-CDF sampling with one uniform draw.
+            # The CDF is the lower-triangular ones-matmul of the softmax
+            # (cumsum-as-matmul — MXU-friendly, no lax.cumsum in Mosaic);
+            # a = #{cdf_k < u} reproduces jax.random.categorical's
+            # distribution (Gumbel-max) exactly in law.
+            u_act = _uniform_from_bits(pltpu.bitcast(
+                pltpu.prng_random_bits(shape), jnp.uint32))
+            _, z_proc = draw_pair()
+            mx = jnp.max(pi_out, axis=0, keepdims=True)
+            zl = pi_out - mx
+            se = jnp.sum(jnp.exp(zl), axis=0, keepdims=True)
+            probs = jnp.exp(zl) / se                     # [A, E]
+            logp_all = zl - jnp.log(se)
+            cdf = jax.lax.dot_general(
+                tri, probs, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )                                            # [A, E]
+            a = jnp.minimum(
+                jnp.sum((cdf < u_act).astype(f32), axis=0, keepdims=True),
+                jnp.float32(A - 1),
+            )                                            # [1, E] class index
+            onehot = (row_iota == a).astype(f32)
+            logp = jnp.sum(onehot * logp_all, axis=0, keepdims=True)
+            if scheme == "proportional":
+                quota = a / jnp.float32(n_actions) * K
+            else:
+                # relative: carried-harvest multiplier decode, built from
+                # scalar constants (Pallas kernels can't capture array
+                # consts) — selects RELATIVE_MULTIPLIERS[a] branchlessly
+                mult = jnp.zeros_like(a)
+                for k, mk in enumerate(RELATIVE_MULTIPLIERS):
+                    mult = mult + jnp.float32(mk) * (
+                        a == jnp.float32(k)
+                    ).astype(f32)
+                quota = h_carry * mult
+
         hv = jnp.minimum(x, quota)
         x1 = x - hv
         r_eff = s[0] + r_drift * tt.astype(f32)
@@ -188,10 +240,13 @@ def _policy_rollout_kernel(
         sl = sl + jnp.sum(ep_len_now.astype(f32) * done_f)
         srw = srw + jnp.sum(rew)
 
-        # auto-reset (batch/batch.py batched_step semantics)
+        # auto-reset (batch/batch.py batched_step semantics); the carried
+        # harvest is the decoded (pre-min) quota for the relative scheme and
+        # the realized harvest otherwise (core/env.step_xi)
         xn = jnp.where(done, x_init, xn)
         tn = jnp.where(done, 0, tn)
-        hv_carry = jnp.where(done, init_harvest, hv)
+        new_h = quota if scheme == "relative" else hv
+        hv_carry = jnp.where(done, init_harvest, new_h)
         cur_ret = jnp.where(done, 0.0, ep_ret_now)
         cur_len = jnp.where(done, 0, ep_len_now)
         return xn, tn, cur_ret, cur_len, hv_carry, nd, sr, sl, srw
@@ -201,7 +256,7 @@ def _policy_rollout_kernel(
         0,
         num_steps,
         body,
-        (x_ref[:], t_ref[:], ret_ref[:], len_ref[:], zero_f,
+        (x_ref[:], t_ref[:], ret_ref[:], len_ref[:], hv_ref[:],
          jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
          jnp.float32(0.0)),
     )
@@ -243,12 +298,13 @@ def _policy_rollout_kernel(
     jax.jit,
     static_argnames=(
         "num_steps", "envs_per_block", "growth", "noise_form", "gamma",
-        "gae_lambda", "interpret",
+        "gae_lambda", "scheme", "n_actions", "interpret",
     ),
 )
 def pallas_policy_rollout(
     stock: jax.Array,    # (B,) f32
     t: jax.Array,        # (B,) i32
+    harvest: jax.Array,  # (B,) f32 carried harvest (relative-scheme state)
     ep_ret: jax.Array,   # (B,) f32
     ep_len: jax.Array,   # (B,) i32
     weights: tuple,      # 13 kernel-layout arrays (ppo_fused.kernel_weights)
@@ -260,15 +316,22 @@ def pallas_policy_rollout(
     noise_form: str = "additive",
     gamma: float = 0.99,
     gae_lambda: float = 0.95,
+    scheme: str = "continuous",
+    n_actions: int = 3,
     interpret: bool = False,
 ) -> PolicyRollout:
     """Fused T-step PPO rollout + GAE; see PolicyRollout for outputs.
 
     B must be a multiple of envs_per_block. The packed_t output is time-major
     ([8, T*B], sample n = t*B + env), exactly the layout
-    kernels/ppo_update_kernel.py consumes.
+    kernels/ppo_update_kernel.py consumes. scheme selects the action head:
+    "continuous" is the Gaussian head; "proportional"/"relative" are the
+    discrete decode schemes with a categorical head of width n_actions
+    (weights' Wm/bm must be that wide — ppo_fused.kernel_weights(params,
+    "categorical")); the packed action row then carries the class index.
     """
     assert growth in GROWTH_MODELS and noise_form in NOISE_FORMS
+    assert scheme in ("continuous", "proportional", "relative")
     B = stock.shape[0]
     E = envs_per_block
     assert B % E == 0, f"num_envs {B} must be a multiple of {E}"
@@ -281,6 +344,8 @@ def pallas_policy_rollout(
         noise_form=noise_form,
         gamma=gamma,
         gae_lambda=gae_lambda,
+        scheme=scheme,
+        n_actions=n_actions,
     )
     state_blk = lambda: pl.BlockSpec(
         (1, E), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -292,7 +357,7 @@ def pallas_policy_rollout(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [state_blk() for _ in range(4)]
+        + [state_blk() for _ in range(5)]
         + [whole() for _ in weights],
         out_specs=[
             pl.BlockSpec(
@@ -317,6 +382,7 @@ def pallas_policy_rollout(
         scalars.reshape(1, NUM_SCALARS),
         stock.reshape(grid, E),
         t.reshape(grid, E),
+        harvest.reshape(grid, E),
         ep_ret.reshape(grid, E),
         ep_len.reshape(grid, E),
         *weights,

@@ -16,9 +16,10 @@ and per-parameter gradient accumulators persist in the (revisited) output
 blocks across grid steps. HBM traffic per minibatch drops from
 O(N·hidden · #activations) to exactly one read of the [C, N] sample matrix.
 
-Network (must match agents/ppo.ActorCritic, continuous head):
+Network (must match agents/ppo.ActorCritic; both action heads):
     h1 = tanh(x W1 + b1); h2 = tanh(h1 W2 + b2)
-    mean = h2 Wm + bm;   value = h2v Wv + bv;   log_std: free param
+    pi_out = h2 Wm + bm (Gaussian mean, or categorical logits);
+    value = h2v Wv + bv;   log_std: free param (Gaussian head only)
 Loss (must match agents/ppo.ppo_loss):
     ratio = exp(logp - old_logp), adv_n = (adv - mu)/(std + 1e-8)
     pg = -mean(min(ratio*adv_n, clip(ratio, 1±eps)*adv_n))
@@ -58,7 +59,7 @@ NUM_SCALARS = 8
 LOG_2PI = 1.8378770664093453
 
 # scalar vector layout (SMEM):
-# 0:clip_eps 1:vf_coef 2:inv_n (1/minibatch) 3:adv_mu 4:adv_inv_std
+# 0:clip_eps 1:vf_coef 2:inv_n (1/minibatch) 3:adv_mu 4:adv_inv_std 5:ent_coef
 
 
 class PPOGrads(NamedTuple):
@@ -88,10 +89,11 @@ def _ppo_grad_kernel(
     # outputs (accumulated across the grid):
     dw1p_ref, db1p_ref, dw2p_ref, db2p_ref, dwm_ref, dbm_ref, dls_ref,
     dw1v_ref, db1v_ref, dw2v_ref, db2v_ref, dwv_ref, dbv_ref,
-    met_ref,                      # SMEM (1, 4): pg_sum, v_sum, kl_sum, loss_sum
+    met_ref,                      # SMEM (1, 4): pg_sum, v_sum, kl_sum, ent_sum
     *,
     obs_dim: int,
     act_dim: int,
+    head: str,                    # "gaussian" (continuous) | "categorical"
 ):
     eps = scal_ref[0, 0]
     vf_coef = scal_ref[0, 1]
@@ -112,13 +114,17 @@ def _ppo_grad_kernel(
         met_ref[0, 2] = 0.0
         met_ref[0, 3] = 0.0
 
+    # act_dim: gaussian -> action dimensionality (packed as that many
+    # columns); categorical -> n_actions (logits width; packed as ONE index
+    # column).
     D, A = obs_dim, act_dim
+    na = act_dim if head == "gaussian" else 1
     x = data_ref[0:D, :]                       # [D, TILE]
-    act = data_ref[D:D + A, :]                 # [A, TILE]
-    old_logp = data_ref[D + A:D + A + 1, :]    # [1, TILE]
-    old_v = data_ref[D + A + 1:D + A + 2, :]
-    adv = data_ref[D + A + 2:D + A + 3, :]
-    ret = data_ref[D + A + 3:D + A + 4, :]
+    act = data_ref[D:D + na, :]                # [na, TILE]
+    old_logp = data_ref[D + na:D + na + 1, :]  # [1, TILE]
+    old_v = data_ref[D + na + 1:D + na + 2, :]
+    adv = data_ref[D + na + 2:D + na + 3, :]
+    ret = data_ref[D + na + 3:D + na + 4, :]
 
     f32 = jnp.float32
 
@@ -136,20 +142,35 @@ def _ppo_grad_kernel(
     h1p, h2p = fwd(w1p_ref, b1p_ref, w2p_ref, b2p_ref)
     h1v, h2v = fwd(w1v_ref, b1v_ref, w2v_ref, b2v_ref)
 
-    mean = jax.lax.dot_general(
+    pi_out = jax.lax.dot_general(
         wm_ref[:], h2p, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    ) + bm_ref[:]                              # [A, TILE]
+    ) + bm_ref[:]                              # [A, TILE] mean or logits
     value = jax.lax.dot_general(
         wv_ref[:], h2v, (((0,), (0,)), ((), ())), preferred_element_type=f32
     ) + bv_ref[:]                              # [1, TILE]
 
-    log_std = ls_ref[:]                        # [A, 1]
-    inv_var = jnp.exp(-2.0 * log_std)          # broadcasts over lanes
-    diff = act - mean                          # [A, TILE]
-    logp = jnp.sum(
-        -0.5 * (diff * diff * inv_var + 2.0 * log_std + LOG_2PI),
-        axis=0, keepdims=True,
-    )                                          # [1, TILE]
+    if head == "gaussian":
+        log_std = ls_ref[:]                    # [A, 1]
+        inv_var = jnp.exp(-2.0 * log_std)      # broadcasts over lanes
+        diff = act - pi_out                    # [A, TILE]
+        logp = jnp.sum(
+            -0.5 * (diff * diff * inv_var + 2.0 * log_std + LOG_2PI),
+            axis=0, keepdims=True,
+        )                                      # [1, TILE]
+    else:
+        # categorical: logp_all = log_softmax(logits); logp = logp_all[a]
+        m = jnp.max(pi_out, axis=0, keepdims=True)
+        z = pi_out - m
+        lse = jnp.log(jnp.sum(jnp.exp(z), axis=0, keepdims=True))
+        logp_all = z - lse                     # [A, TILE]
+        probs = jnp.exp(logp_all)
+        # Mosaic's tpu.iota is integer-only; cast after
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, pi_out.shape, 0
+        ).astype(f32)
+        onehot = (row_ids == act).astype(f32)  # act broadcasts [1,TILE]
+        logp = jnp.sum(onehot * logp_all, axis=0, keepdims=True)
+        ent = -jnp.sum(probs * logp_all, axis=0, keepdims=True)  # [1, TILE]
 
     # ---- clipped surrogate ----
     logr = logp - old_logp
@@ -182,13 +203,25 @@ def _ppo_grad_kernel(
     met_ref[0, 0] += jnp.sum(-pg_each)
     met_ref[0, 1] += jnp.sum(0.5 * v_each)
     met_ref[0, 2] += jnp.sum(ratio - 1.0 - logr)   # approx_kl
-    met_ref[0, 3] += jnp.sum(value)                # spare diagnostic
+    if head == "categorical":
+        met_ref[0, 3] += jnp.sum(ent)              # data-dependent entropy
+    else:
+        met_ref[0, 3] += jnp.sum(value)            # spare diagnostic
 
     # ---- backward: policy head ----
-    g_mean = g_logp * diff * inv_var           # [A, TILE] (broadcast over A)
-    dls_ref[:] += jnp.sum(
-        g_logp * (diff * diff * inv_var - 1.0), axis=1, keepdims=True
-    )
+    ent_coef = scal_ref[0, 5]
+    if head == "gaussian":
+        g_mean = g_logp * diff * inv_var       # [A, TILE] (broadcast over A)
+        dls_ref[:] += jnp.sum(
+            g_logp * (diff * diff * inv_var - 1.0), axis=1, keepdims=True
+        )
+    else:
+        # d logp_a/d logits = onehot - p; entropy term of the loss,
+        # -ent_coef*mean(H), has dH/dlogits_k = -p_k*(logp_k + H)
+        g_mean = g_logp * (onehot - probs) + (ent_coef * inv_n) * probs * (
+            logp_all + ent
+        )                                      # [A, TILE]
+        # no log_std parameter: dls_ref stays at its j==0 zero-init
 
     def bwd_tower(g_top, w_top, h2, h1, w2, xin, dw_top, db_top, dw2, db2,
                   dw1, db1):
@@ -223,7 +256,7 @@ def _ppo_grad_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("obs_dim", "act_dim", "tile", "interpret"),
+    static_argnames=("obs_dim", "act_dim", "tile", "head", "interpret"),
 )
 def fused_minibatch_grad(
     data: jax.Array,        # [C_PAD, N] f32 feature-major packed samples
@@ -233,6 +266,7 @@ def fused_minibatch_grad(
     obs_dim: int,
     act_dim: int,
     tile: int = 2048,
+    head: str = "gaussian",
     interpret: bool = False,
 ):
     """One fused pass -> (PPOGrads, metric sums [pg, v, kl, spare]).
@@ -250,11 +284,12 @@ def fused_minibatch_grad(
       Wm [H, A], bm [A, 1], log_std [A, 1], and the value tower with A=1.
     """
     cpad, n = data.shape
+    na = act_dim if head == "gaussian" else 1
     assert cpad % SUBLANES == 0 and n % tile == 0, (cpad, n, tile)
-    assert obs_dim + act_dim + 4 <= cpad
+    assert obs_dim + na + 4 <= cpad
     grid = tile_order.shape[0]
     kernel = functools.partial(
-        _ppo_grad_kernel, obs_dim=obs_dim, act_dim=act_dim
+        _ppo_grad_kernel, obs_dim=obs_dim, act_dim=act_dim, head=head
     )
     whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]

@@ -53,7 +53,7 @@ def make_sharded_fused_train_step(
     cfg.num_envs is the GLOBAL env count; bstate must be sharded over
     `axis` (shard.mesh.shard_batch / host_local_to_global), ts replicated.
     Requires cfg.fused_update (and uses the fused rollout kernel — same
-    constraints: continuous scheme, scalar obs, float32).
+    constraints: scalar obs, sigma_m == 0, float32; both action heads).
     """
     ndev = int(mesh.shape[axis])
     if cfg.num_envs % ndev != 0:
@@ -84,9 +84,12 @@ def make_sharded_fused_train_step(
             env, env_params, local_cfg, ts, bstate, k_roll,
             interpret=interpret,
         )
+        continuous = env.config.scheme == "continuous"
+        head = "gaussian" if continuous else "categorical"
+        kern_act_dim = 1 if continuous else env.config.n_actions
         ts, metrics = ppo_fused.fused_epoch_scan(
-            local_cfg, ts, roll.packed_t, 1, 1, k_perm,
-            interpret=interpret, axis_name=axis,
+            local_cfg, ts, roll.packed_t, 1, kern_act_dim, k_perm,
+            head=head, interpret=interpret, axis_name=axis,
         )
         metrics = jax.tree.map(lambda x: x.mean(), metrics)
         stats = jax.lax.psum(roll.stats, axis)

@@ -16,7 +16,11 @@ Checks, at matched (B, T, sigma) with the same escapement policy, no resets:
    ~ sigma_pop/sqrt(1024); a seed-fold bug that replays one stream across
    lanes/blocks inflates it by orders of magnitude (this is the check that
    would catch the "correlated-stream bug" a marginal KS test can miss);
-4. lognormal-noise variant (ricker) repeats check 1.
+4. lognormal-noise variant (ricker) repeats check 1;
+5. categorical sampling (policy-rollout kernel, discrete env): at step 0 all
+   envs share the same observation, so the kernel's inverse-CDF sampler must
+   reproduce the policy's softmax probabilities — empirical class
+   frequencies within 6 binomial SEs.
 
 Prints one JSON line (driver-recordable) and PASS/FAIL; exit 1 on FAIL.
 """
@@ -119,6 +123,43 @@ def block_independence(stocks, B, checks, tile=8 * 128):
     return ok
 
 
+def categorical_sampling(B, checks, seed=777):
+    """Kernel inverse-CDF sampler vs the policy softmax at a shared obs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import gym_fishing_tpu as gft
+    from gym_fishing_tpu.agents import ppo, ppo_fused
+    from gym_fishing_tpu.batch import batched_reset
+
+    env, params = gft.make("fishing-v0", dtype=jnp.float32, sigma=0.05)
+    cfg = ppo.PPOConfig(num_envs=B, num_steps=4, hidden=64)
+    ts = ppo.make_train_state(env, cfg, jax.random.key(3))
+    bstate = batched_reset(env, params, B)
+    roll, _ = ppo_fused.fused_rollout_collect(
+        env, params, cfg, ts, bstate, jax.random.key(seed), interpret=False
+    )
+    acts = np.asarray(roll.packed_t[1, :B])        # step-0 actions (time-major)
+    obs0 = jnp.full((1, 1), float(params.init_state) / float(params.K) - 1.0,
+                    jnp.float32)
+    (logits,), _ = ts.apply_fn(ts.params, obs0)
+    probs = np.asarray(jax.nn.softmax(logits[0]), np.float64)
+    ok = True
+    freqs = []
+    for k, p in enumerate(probs):
+        f = float((acts == k).mean())
+        se = math.sqrt(max(p * (1 - p), 1e-12) / B)
+        ok &= abs(f - p) < 6.0 * se
+        freqs.append(round(f, 5))
+    checks["categorical_sampling"] = {
+        "empirical": freqs,
+        "softmax": [round(float(p), 5) for p in probs],
+        "ok": bool(ok),
+    }
+    return ok
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--require-tpu", action="store_true")
@@ -155,6 +196,9 @@ def main() -> int:
     ex2, _ = engine_rollout(env2, params2, S, B, T, seed=1)
     kx2, _ = kernel_rollout(env2, params2, S, B, T, seed=54321)
     ok &= compare("final_stock_lognormal_ricker", kx2, ex2, B, checks)
+
+    # 5: categorical sampler of the policy-rollout kernel
+    ok &= categorical_sampling(B, checks)
 
     print(json.dumps({
         "kernel_rng_validation": "PASS" if ok else "FAIL",

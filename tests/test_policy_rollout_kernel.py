@@ -1,13 +1,16 @@
 """Fused policy-rollout kernel == the XLA rollout path at z=0.
 
 On CPU the Mosaic interpreter's PRNG yields zero bits, so the kernel's
-Box-Muller draws are exactly 0 — the rollout becomes deterministic. A pure
-JAX reference loop with the same zero draws (action = mean, process noise
-xi = 0) must then reproduce every packed row (obs, action, logp, value,
-advantage, return), the final env state and the in-kernel episode stats.
-This pins the whole wiring: obs scaling, the MLP forward, the continuous
-decode, growth/noise/reward/collapse dynamics, auto-reset, and the in-kernel
-GAE reverse pass (agents/ppo.compute_gae semantics).
+uniform draws are exactly 1.0 and its Box-Muller draws exactly 0 — the
+rollout becomes deterministic: Gaussian action = mean; categorical action =
+#{cdf_k < 1.0} = n_actions - 1 (the last class). A pure JAX reference loop
+with the same deterministic choices and process noise xi = 0 must then
+reproduce every packed row (obs, action, logp, value, advantage, return),
+the final env state and the in-kernel episode stats. This pins the whole
+wiring: obs scaling, the MLP forward, all three decode schemes (incl. the
+relative scheme's carried-harvest state), growth/noise/reward/collapse
+dynamics, auto-reset, and the in-kernel GAE reverse pass
+(agents/ppo.compute_gae semantics).
 """
 
 import dataclasses
@@ -27,13 +30,17 @@ LOG_2PI = 1.8378770664093453
 
 
 def _reference_rollout_z0(env, params, ts, bstate, T, gamma, lam):
-    """Pure-JAX rollout with all normal draws = 0 (action = mean, xi = 0)."""
+    """Pure-JAX rollout with the interpreter's deterministic draws:
+    Gaussian action = mean (z = 0); categorical action = last class (u = 1);
+    process noise xi = 0."""
     B = bstate.episode_return.shape[0]
     f32 = jnp.float32
+    continuous = env.config.scheme == "continuous"
     state = bstate.env
     cur_ret = bstate.episode_return.astype(f32)
     cur_len = bstate.episode_length
-    log_std = ts.params["params"]["log_std"][0]
+    if continuous:
+        log_std = ts.params["params"]["log_std"][0]
     reset_state = env.reset(params)
 
     rows = {k: [] for k in ("obs", "act", "logp", "value", "rew", "done")}
@@ -42,11 +49,19 @@ def _reference_rollout_z0(env, params, ts, bstate, T, gamma, lam):
     for _ in range(T):
         obs = jax.vmap(env.get_obs, in_axes=(None, 0))(params, state)
         obs = obs.astype(f32)
-        (mean, _), value = ts.apply_fn(ts.params, obs)
-        action = mean                                   # z = 0
-        logp = jnp.full((B,), -log_std - 0.5 * LOG_2PI, f32)
+        dist, value = ts.apply_fn(ts.params, obs)
+        if continuous:
+            action = dist[0]                            # z = 0 -> mean
+            logp = jnp.full((B,), -log_std - 0.5 * LOG_2PI, f32)
+            act_row = action[:, 0]
+            env_action = action.astype(params.dtype)
+        else:
+            A = env.config.n_actions
+            env_action = jnp.full((B,), A - 1, jnp.int32)   # u = 1 -> last
+            logp = jax.nn.log_softmax(dist[0])[:, A - 1]
+            act_row = env_action.astype(f32)
         state2, ts_env = batched_step_xi(
-            env, params, state, action.astype(params.dtype), zeros, zeros
+            env, params, state, env_action, zeros, zeros
         )
         rew = ts_env.reward.astype(f32)
         done = ts_env.done
@@ -58,7 +73,7 @@ def _reference_rollout_z0(env, params, ts, bstate, T, gamma, lam):
         sl += float((ep_len_now.astype(f32) * done_f).sum())
         srw += float(rew.sum())
         rows["obs"].append(obs[:, 0])
-        rows["act"].append(action[:, 0])
+        rows["act"].append(act_row)
         rows["logp"].append(logp)
         rows["value"].append(value)
         rows["rew"].append(rew)
@@ -103,6 +118,10 @@ def _reference_rollout_z0(env, params, ts, bstate, T, gamma, lam):
         ("fishing-v1", dict(sigma=0.05, Tmax=5)),
         ("fishing-ricker-v1", dict(sigma=0.1, Tmax=6, cost=0.1, r_drift=0.01)),
         ("fishing-may-v1", dict(sigma=0.0, Tmax=7, collapse_penalty=1.0)),
+        # discrete: relative scheme (carried-harvest decode, n_actions=3)
+        ("fishing-v0", dict(sigma=0.05, Tmax=5)),
+        # discrete: proportional grid decode (n_actions>3 switches scheme)
+        ("fishing-v0", dict(n_actions=8, sigma=0.1, Tmax=6, cost=0.05)),
     ],
 )
 def test_policy_rollout_kernel_matches_reference_z0(env_id, overrides):
@@ -124,7 +143,10 @@ def test_policy_rollout_kernel_matches_reference_z0(env_id, overrides):
         env=EnvState(
             stock=bstate.env.stock
             * (0.5 + jnp.linspace(0, 1, cfg.num_envs, dtype=jnp.float32)),
-            harvest=bstate.env.harvest,
+            # vary carried harvest too (exercises the relative scheme's
+            # harvest-state input into the kernel)
+            harvest=bstate.env.harvest
+            * (0.5 + jnp.linspace(0, 1.5, cfg.num_envs, dtype=jnp.float32)),
             t=(jnp.arange(cfg.num_envs) % int(params.Tmax)).astype(jnp.int32),
         ),
         episode_length=(jnp.arange(cfg.num_envs) % int(params.Tmax)).astype(
@@ -184,6 +206,26 @@ def test_fused_rollout_train_step_smoke():
         ts, bstate, metrics = step(ts, bstate, jax.random.key(i))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["mean_reward"]))
+    assert all(
+        np.all(np.isfinite(np.asarray(v))) for v in jax.tree.leaves(ts.params)
+    )
+
+
+def test_fused_rollout_train_step_smoke_discrete():
+    """Full fused pipeline on a discrete env (categorical head end to end)."""
+    env, params = registry.make("fishing-v0", dtype=jnp.float32, sigma=0.05)
+    cfg = ppo.PPOConfig(
+        num_envs=128, num_steps=16, epochs=2, num_minibatches=2, hidden=32,
+        ent_coef=0.01, fused_update=True, fused_rollout=True,
+    )
+    ts = ppo.make_train_state(env, cfg, jax.random.key(0))
+    bstate = batched_reset(env, params, cfg.num_envs)
+    step = jax.jit(
+        lambda ts, bs, k: ppo.train_step(env, params, cfg, ts, bs, k)
+    )
+    for i in range(2):
+        ts, bstate, metrics = step(ts, bstate, jax.random.key(i))
+    assert np.isfinite(float(metrics["loss"]))
     assert all(
         np.all(np.isfinite(np.asarray(v))) for v in jax.tree.leaves(ts.params)
     )

@@ -59,6 +59,114 @@ def _setup(ent_coef=0.0, seed=0, n=256):
     return cfg, ts, params, batch, packed
 
 
+def _setup_categorical(ent_coef=0.0, seed=0, n=256):
+    """Discrete-env (fishing-v0, n_actions=3) analog of _setup: the packed
+    action field is one f32 column holding the sampled class index."""
+    env, env_params = registry.make("fishing-v0")
+    cfg = ppo.PPOConfig(hidden=64, ent_coef=ent_coef)
+    keys = jax.random.split(jax.random.key(seed), 10)
+    ts = ppo.make_train_state(env, cfg, keys[0])
+    params = jax.tree.map(
+        lambda x, k: x + 0.05 * jax.random.normal(k, x.shape, x.dtype),
+        ts.params,
+        jax.tree.unflatten(
+            jax.tree.structure(ts.params),
+            list(jax.random.split(keys[1], len(jax.tree.leaves(ts.params)))),
+        ),
+    )
+    obs = 0.7 * jax.random.normal(keys[2], (n, 1), jnp.float32)
+    (logits,), value = ts.apply_fn(params, obs)
+    action = jax.random.categorical(keys[3], logits)
+    logp = jax.nn.log_softmax(logits)[jnp.arange(n), action]
+    old_logp = logp + 0.3 * jax.random.normal(keys[4], (n,), jnp.float32)
+    old_value = value + 0.3 * jax.random.normal(keys[5], (n,), jnp.float32)
+    adv = jax.random.normal(keys[6], (n,), jnp.float32)
+    ret = value + jax.random.normal(keys[7], (n,), jnp.float32)
+    batch = (obs, action.astype(jnp.int32), old_logp, old_value, adv, ret)
+    packed = jnp.concatenate(
+        [obs, action[:, None].astype(jnp.float32), old_logp[:, None],
+         old_value[:, None], adv[:, None], ret[:, None]],
+        axis=1,
+    ).astype(jnp.float32)
+    return cfg, ts, params, batch, packed, env.config.n_actions
+
+
+@pytest.mark.parametrize("ent_coef", [0.0, 0.01])
+def test_fused_grad_matches_jax_grad_categorical(ent_coef):
+    """Categorical head: kernel gradient == jax.grad of the discrete
+    ppo_loss, including the data-dependent entropy term's gradient."""
+    cfg, ts, params, batch, packed, n_actions = _setup_categorical(
+        ent_coef=ent_coef
+    )
+
+    (loss, metrics), ref_grads = jax.value_and_grad(
+        lambda p: ppo.ppo_loss(ts.apply_fn, p, cfg, batch, False),
+        has_aux=True,
+    )(params)
+
+    mb_t = ppo_fused.pack_feature_major(packed)
+    grads, met = ppo_fused.fused_grad(
+        params, mb_t, cfg.clip_eps, cfg.vf_coef, cfg.ent_coef,
+        obs_dim=1, act_dim=n_actions, tile=128, head="categorical",
+        interpret=True,
+    )
+
+    flat_ref = jax.tree.leaves_with_path(ref_grads)
+    flat_got = {jax.tree_util.keystr(k): v
+                for k, v in jax.tree.leaves_with_path(grads)}
+    assert len(flat_ref) == len(flat_got)
+    for k, ref in flat_ref:
+        got = flat_got[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-6,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(k)}",
+        )
+
+    for name in ("loss", "pg_loss", "v_loss", "entropy", "approx_kl"):
+        np.testing.assert_allclose(
+            float(met[name]), float(metrics[name]), rtol=2e-4, atol=2e-6,
+            err_msg=f"metric mismatch at {name}",
+        )
+
+
+def test_fused_train_step_matches_xla_path_discrete():
+    """Full train_step parity on a discrete env at epochs=1, minibatches=1."""
+    import dataclasses
+
+    from gym_fishing_tpu.batch import batched_reset
+
+    env, env_params = registry.make("fishing-v0")
+    base = ppo.PPOConfig(
+        num_envs=32, num_steps=16, epochs=1, num_minibatches=1, hidden=32,
+        ent_coef=0.01,
+    )
+    key = jax.random.key(7)
+    ts0 = ppo.make_train_state(env, base, key)
+    bstate = batched_reset(env, env_params, base.num_envs)
+
+    outs = {}
+    for fused in (False, True):
+        cfg = dataclasses.replace(base, fused_update=fused)
+        ts, _, metrics = jax.jit(
+            lambda ts, bs, k, cfg=cfg: ppo.train_step(
+                env, env_params, cfg, ts, bs, k
+            )
+        )(ts0, bstate, key)
+        outs[fused] = (ts.params, metrics)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+        ),
+        outs[False][0], outs[True][0],
+    )
+    for name in ("pg_loss", "v_loss", "entropy", "approx_kl"):
+        np.testing.assert_allclose(
+            float(outs[True][1][name]), float(outs[False][1][name]),
+            rtol=1e-3, atol=1e-6,
+        )
+
+
 @pytest.mark.parametrize("ent_coef", [0.0, 0.01])
 def test_fused_grad_matches_jax_grad(ent_coef):
     cfg, ts, params, batch, packed = _setup(ent_coef=ent_coef)
