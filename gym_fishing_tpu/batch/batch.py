@@ -98,8 +98,15 @@ def batched_step(
             return jnp.where(d, init, new)
 
         env_state = jax.tree.map(sel, env_state, reset_state.env)
-        obs = jax.vmap(env.get_obs, in_axes=(None, 0))(params, env_state)
-        ts = ts.replace(obs=obs)
+        # Done instances observe the (noise-free) reset state; everyone else
+        # keeps the step's own obs so measurement noise (sigma_m) reaches the
+        # policy — re-deriving obs for all envs via get_obs would silently
+        # strip the obs-noise variants' noise from training (VERDICT r2 #4).
+        reset_obs = jax.vmap(env.get_obs, in_axes=(None, 0))(
+            params, reset_state.env
+        )
+        d = done.reshape(done.shape + (1,) * (ts.obs.ndim - done.ndim))
+        ts = ts.replace(obs=jnp.where(d, reset_obs, ts.obs))
         next_ret = jnp.where(done, 0.0, ep_ret).astype(dtype)
         next_len = jnp.where(done, 0, ep_len)
     else:

