@@ -22,6 +22,9 @@ import sys
 
 # measured headlines (BENCH_NOTES.md): pallas ~16-22B, xla scan ~1.9B steps/s
 _TPU_FLOORS = {"pallas": 4e9, "xla": 4e8}
+# fused PPO train step measured 95.5M env-steps/s at the 4x8 default
+# (BENCH_NOTES update-phase table); floor ~ half of measured (VERDICT r2 #3)
+_PPO_TPU_FLOOR = 4e7
 
 
 def main() -> None:
@@ -48,20 +51,35 @@ def main() -> None:
             )
         else:
             raise
-    print(
-        json.dumps(
-            {
-                "metric": f"env-steps/s per chip ({env_id} batched)",
-                "value": res["steps_per_s"],
-                "unit": "steps/s",
-                "vs_baseline": res["vs_baseline"],
-            }
-        )
-    )
-
     import jax
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
+
+    # Learner gate: the fully-fused PPO train step (rollout kernel + update
+    # kernel + 4x8 minibatch SGD). TPU-only — it runs the REAL
+    # pallas_policy_rollout (interpret=False), so a kernel that stops
+    # compiling on hardware fails the driver's bench run itself (VERDICT r2
+    # #8), and a learner-throughput regression trips the floor (#3).
+    line = {
+        "metric": f"env-steps/s per chip ({env_id} batched)",
+        "value": res["steps_per_s"],
+        "unit": "steps/s",
+        "vs_baseline": res["vs_baseline"],
+    }
+    ppo_res = None
+    if on_tpu and os.environ.get("BENCH_SKIP_PPO") != "1":
+        from gym_fishing_tpu.bench.throughput import measure_ppo_train
+
+        ppo_res = measure_ppo_train(
+            num_envs=int(os.environ.get("BENCH_PPO_NUM_ENVS", 16384)),
+            num_steps=int(os.environ.get("BENCH_PPO_NUM_STEPS", 128)),
+            iters=int(os.environ.get("BENCH_PPO_ITERS", 10)),
+        )
+        line["ppo_train_steps_per_s"] = ppo_res["steps_per_s"]
+        line["ppo_train_mode"] = ppo_res["mode"]
+        line["ppo_train_vs_50M_target"] = ppo_res["vs_baseline"]
+    print(json.dumps(line))
+
     full_size = num_envs * num_steps >= (1 << 21) * 128  # floors assume load
     floor = float(
         os.environ.get(
@@ -76,6 +94,19 @@ def main() -> None:
             file=sys.stderr,
         )
         sys.exit(1)
+    if ppo_res is not None:
+        ppo_floor = float(os.environ.get("BENCH_PPO_FLOOR", _PPO_TPU_FLOOR))
+        ppo_default_shape = (
+            ppo_res["num_envs"] == 16384 and ppo_res["num_steps"] == 128
+        )
+        if ppo_default_shape and ppo_res["steps_per_s"] < ppo_floor:
+            print(
+                f"PERF REGRESSION: fused PPO train step "
+                f"{ppo_res['steps_per_s']:.3e} steps/s < floor "
+                f"{ppo_floor:.3e}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -28,14 +28,16 @@ def rollout_scalars(params, seed) -> jax.Array:
     """EnvParams -> the policy-rollout kernel's scalar vector (traced-safe).
 
     Same layout as kernels/rollout_kernel.make_scalars, with slot 3 carrying
-    the continuous decode constant (action_scale) and slot 18 init_harvest.
-    Unlike make_scalars this accepts traced params (jnp.stack, no float()).
+    the continuous decode constant (action_scale); slot 18 (n_actions) is a
+    placeholder — the policy kernel's n_actions is static. Unlike
+    make_scalars this accepts traced params (jnp.stack, no float()).
     """
     vals = [
         params.r, params.K, params.sigma, params.action_scale, params.price,
         params.Tmax, params.init_state, seed, params.A, params.B, params.C,
         params.theta, params.a, params.b, params.q, params.collapse_penalty,
-        params.r_drift, params.cost, params.init_harvest, params.sigma_m,
+        params.r_drift, params.cost, 0.0, params.sigma_m,
+        params.init_harvest,
     ]
     return jnp.stack(
         [jnp.asarray(v, jnp.float32).reshape(()) for v in vals]
@@ -124,7 +126,7 @@ def fused_rollout_collect(env, env_params, cfg, ts, bstate, key,
     )
 
     num_envs = bstate.episode_return.shape[0]
-    eblk = next((e for e in (512, 256, 128) if num_envs % e == 0), None)
+    eblk = next((e for e in (1024, 512, 256, 128) if num_envs % e == 0), None)
     if eblk is None:
         raise ValueError(
             f"fused_rollout needs num_envs {num_envs} divisible by 128"

@@ -147,3 +147,63 @@ def _measure_pallas(env_id, num_envs, num_steps, iters, warmup, sigma) -> dict:
         "steps_per_s": steps_per_s,
         "vs_baseline": steps_per_s / BASELINE_STEPS_PER_S,
     }
+
+
+def measure_ppo_train(
+    num_envs: int = 16384,
+    num_steps: int = 128,
+    iters: int = 10,
+    warmup: int = 3,
+    sigma: float = 0.05,
+    fused: str = "full",   # "full" | "update" | "off"
+) -> dict:
+    """Time the full PPO train step (rollout + GAE + 4x8 minibatch SGD).
+
+    This is the number that actually met the 50M north star (BENCH_NOTES
+    update-phase table); benched here so bench.py can gate it against a
+    regression floor (VERDICT r2 #3). fused="full" additionally exercises a
+    REAL (non-interpreted) pallas_policy_rollout on TPU — the execution-side
+    tripwire companion to tests/test_tpu_lowering.py.
+    """
+    from functools import partial
+
+    from gym_fishing_tpu.agents import ppo
+
+    env, params = gft.make("fishing-v1", sigma=sigma)
+    cfg = ppo.PPOConfig(
+        num_envs=num_envs,
+        num_steps=num_steps,
+        fused_update=fused in ("full", "update"),
+        fused_rollout=fused == "full",
+    )
+    key = jax.random.key(0)
+    ts = ppo.make_train_state(env, cfg, key)
+    bstate = batched_reset(env, params, num_envs)
+    step = jax.jit(partial(ppo.train_step, env, params, cfg))
+
+    for i in range(warmup):
+        ts, bstate, metrics = step(ts, bstate, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics)
+
+    # async dispatch, block once: a training loop doesn't sync on metrics
+    # every iteration, and a per-iter block would bill the host/tunnel
+    # round-trip latency to the device (measured ~2x inflation via axon)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        ts, bstate, metrics = step(ts, bstate, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    total = num_envs * num_steps * iters
+    steps_per_s = total / dt
+    return {
+        "mode": f"ppo-{fused}",
+        "num_envs": num_envs,
+        "num_steps": num_steps,
+        "epochs": cfg.epochs,
+        "num_minibatches": cfg.num_minibatches,
+        "iters": iters,
+        "seconds": dt,
+        "steps_per_s": steps_per_s,
+        "vs_baseline": steps_per_s / BASELINE_STEPS_PER_S,
+    }

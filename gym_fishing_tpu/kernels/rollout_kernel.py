@@ -45,18 +45,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gym_fishing_tpu.core.types import GROWTH_MODELS, NOISE_FORMS
+from gym_fishing_tpu.core.types import (
+    GROWTH_MODELS,
+    NOISE_FORMS,
+    RELATIVE_MULTIPLIERS,
+)
 
 LANES = 128
 TWO_PI = 6.283185307179586
-NUM_SCALARS = 20
+NUM_SCALARS = 21
 POLICIES = ("escapement", "constant_mortality", "constant")
-SCHEMES = ("continuous", "proportional")
+SCHEMES = ("continuous", "proportional", "relative")
 
-# scalar vector layout (SMEM):
+# scalar vector layout (SMEM), shared with policy_rollout_kernel (which puts
+# action_scale in slot 3 and never reads 18 — its n_actions is static):
 #  0:r 1:K 2:sigma 3:policy_param 4:price 5:Tmax 6:init_state 7:seed
 #  8:A 9:B 10:C 11:theta 12:a 13:b 14:q 15:collapse_penalty 16:r_drift
-# 17:cost 18:n_actions 19:sigma_m
+# 17:cost 18:n_actions 19:sigma_m 20:init_harvest
 
 
 class KernelRollout(NamedTuple):
@@ -68,6 +73,7 @@ class KernelRollout(NamedTuple):
     reward: jax.Array      # f32 lifetime reward accumulated THIS call
     ep_ret_sum: jax.Array  # f32 sum of completed-episode returns this call
     ep_count: jax.Array    # i32 number of episodes completed this call
+    harvest: jax.Array     # f32 carried harvest (relative-scheme state)
 
 
 def _uniform_from_bits(bits):
@@ -127,12 +133,14 @@ def _rollout_kernel(
     x_ref,       # VMEM (R, 128) f32 stock
     t_ref,       # VMEM (R, 128) i32 years passed
     ep0_ref,     # VMEM (R, 128) f32 running episode return carried in
+    hv0_ref,     # VMEM (R, 128) f32 carried harvest (relative scheme)
     x_out_ref,
     t_out_ref,
     ep_out_ref,  # VMEM (R, 128) f32 running episode return carried out
     rew_ref,     # VMEM (R, 128) f32 per-env lifetime reward (this call)
     eps_ref,     # VMEM (R, 128) f32 completed-episode return sum
     epc_ref,     # VMEM (R, 128) i32 completed-episode count
+    hv_out_ref,  # VMEM (R, 128) f32 carried harvest out
     *,
     num_steps: int,
     growth: str,
@@ -148,12 +156,13 @@ def _rollout_kernel(
     seed = s[7].astype(jnp.int32)
     cost = s[17]
     sigma_m = s[19]
+    init_harvest = s[20]
 
     pltpu.prng_seed(seed + pl.program_id(0))
     shape = x_ref.shape
 
     def step(carry, z, eta):
-        x, t, cur, rew, eps, epc = carry
+        x, t, h, cur, rew, eps, epc = carry
         x_obs = x * jnp.exp(sigma_m * eta) if obs_noise else x
         quota = _quota(policy, s, x_obs)
         if scheme == "proportional":
@@ -163,6 +172,21 @@ def _rollout_kernel(
             n = s[18]
             a = jnp.clip(jnp.round(quota * n / s[1]), 0.0, n - 1.0)
             quota = a / n * s[1]
+        elif scheme == "relative":
+            # encode∘decode of the 3-action relative scheme: the policy's
+            # desired quota snaps to the nearest carried-harvest multiple
+            # h·{1.0, 1.2, 0.8} (argmin |candidate − quota|, first-wins ties
+            # like jnp.argmin in spaces.scaling.encode_action); the decoded
+            # candidate becomes the new carried harvest.
+            best = h * jnp.float32(RELATIVE_MULTIPLIERS[0])
+            bestd = jnp.abs(best - quota)
+            for mk in RELATIVE_MULTIPLIERS[1:]:
+                c = h * jnp.float32(mk)
+                d = jnp.abs(c - quota)
+                take = d < bestd
+                best = jnp.where(take, c, best)
+                bestd = jnp.where(take, d, bestd)
+            quota = best
         hv = jnp.minimum(x, quota)
         x1 = x - hv
         r_eff = s[0] + s[16] * t.astype(jnp.float32)
@@ -185,7 +209,13 @@ def _rollout_kernel(
         cur = jnp.where(done, 0.0, cur)
         x_next = jnp.where(done, x_init, x_next)
         t_next = jnp.where(done, 0, t_next)
-        return x_next, t_next, cur, rew, eps, epc
+        # carried harvest: the decoded quota for the relative scheme
+        # (core/env.step_xi keeps the pre-min decode), init on reset
+        if scheme == "relative":
+            h_next = jnp.where(done, init_harvest, quota)
+        else:
+            h_next = h
+        return x_next, t_next, h_next, cur, rew, eps, epc
 
     def draw_pair():
         u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
@@ -212,11 +242,11 @@ def _rollout_kernel(
         iters = num_steps // 2
 
     zero_f = jnp.zeros(shape, jnp.float32)
-    x, t, cur, rew, eps, epc = jax.lax.fori_loop(
+    x, t, h, cur, rew, eps, epc = jax.lax.fori_loop(
         0,
         iters,
         body,
-        (x_ref[:], t_ref[:], ep0_ref[:], zero_f, zero_f,
+        (x_ref[:], t_ref[:], hv0_ref[:], ep0_ref[:], zero_f, zero_f,
          jnp.zeros(shape, jnp.int32)),
     )
     x_out_ref[:] = x
@@ -225,6 +255,7 @@ def _rollout_kernel(
     rew_ref[:] = rew
     eps_ref[:] = eps
     epc_ref[:] = epc
+    hv_out_ref[:] = h
 
 
 @functools.partial(
@@ -246,13 +277,16 @@ def pallas_rollout(
     scheme: str = "continuous",
     obs_noise: bool = False,
     ep_ret: Optional[jax.Array] = None,  # (B,) f32 in-flight episode return
+    harvest: Optional[jax.Array] = None,  # (B,) f32 carried harvest (relative)
     interpret: bool = False,
 ) -> KernelRollout:
     """Fused T-step rollout; see KernelRollout for the per-env outputs.
 
     B must be a multiple of rows_per_block * 128. Without obs_noise,
     num_steps must be even (2-step unrolled body). Pass the previous call's
-    `ep_ret` back in to chain rollouts with exact episode accounting.
+    `ep_ret` (and, on the relative scheme, `harvest`) back in to chain
+    rollouts with exact episode accounting; `harvest` defaults to the
+    scalars' init_harvest (slot 20).
     """
     assert growth in GROWTH_MODELS and noise_form in NOISE_FORMS
     assert policy in POLICIES and scheme in SCHEMES
@@ -269,6 +303,10 @@ def pallas_rollout(
         ep2d = jnp.zeros_like(x2d)
     else:
         ep2d = ep_ret.reshape(grid * rows_per_block, LANES)
+    if harvest is None:
+        hv2d = jnp.full_like(x2d, scalars[20])
+    else:
+        hv2d = harvest.reshape(grid * rows_per_block, LANES)
 
     kernel = functools.partial(
         _rollout_kernel,
@@ -286,8 +324,9 @@ def pallas_rollout(
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk(), blk(), blk()],
-        out_specs=[blk() for _ in range(6)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [blk() for _ in range(4)],
+        out_specs=[blk() for _ in range(7)],
         out_shape=[
             f32_out(),                                    # stock
             jax.ShapeDtypeStruct(t2d.shape, jnp.int32),   # t
@@ -295,11 +334,12 @@ def pallas_rollout(
             f32_out(),                                    # lifetime reward
             f32_out(),                                    # ep_ret_sum
             jax.ShapeDtypeStruct(t2d.shape, jnp.int32),   # ep_count
+            f32_out(),                                    # carried harvest
         ],
         # bool True selects the Mosaic TPU interpreter (supports the TPU PRNG
         # primitives on CPU); the generic HLO interpreter does not.
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(scalars.reshape(1, NUM_SCALARS), x2d, t2d, ep2d)
+    )(scalars.reshape(1, NUM_SCALARS), x2d, t2d, ep2d, hv2d)
     return KernelRollout(*(o.reshape(B) for o in out))
 
 
@@ -310,6 +350,6 @@ def make_scalars(params, policy_param, seed: int, n_actions: int = 3) -> jax.Arr
         params.Tmax, params.init_state, seed,
         params.A, params.B, params.C, params.theta,
         params.a, params.b, params.q, params.collapse_penalty, params.r_drift,
-        params.cost, n_actions, params.sigma_m,
+        params.cost, n_actions, params.sigma_m, params.init_harvest,
     ]
     return jnp.asarray([float(v) for v in vals], jnp.float32)

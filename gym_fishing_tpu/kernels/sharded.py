@@ -40,7 +40,7 @@ def sharded_pallas_rollout(
         local,
         mesh=mesh,
         in_specs=(P(ENVS_AXIS), P(ENVS_AXIS), P()),
-        out_specs=tuple(P(ENVS_AXIS) for _ in range(6)),
+        out_specs=tuple(P(ENVS_AXIS) for _ in KernelRollout._fields),
         # pallas_call out_shapes carry no varying-mesh-axes annotation
         check_vma=False,
     )

@@ -66,7 +66,10 @@ def make_sharded_fused_train_step(
             "for the XLA path just jit agents.ppo.train_step under the mesh"
         )
     local_cfg = dataclasses.replace(cfg, num_envs=cfg.num_envs // ndev)
-    interpret = jax.default_backend() != "tpu"
+    # interpret follows the MESH's platform, not the process default backend:
+    # with a TPU attached but a CPU mesh (the dryrun_multichip path), the
+    # default backend says "tpu" while the kernels execute on CPU devices.
+    interpret = mesh.devices.flat[0].platform != "tpu"
 
     @partial(
         shard_map,

@@ -105,7 +105,8 @@ def compare(name, kern, eng, B, checks, ks_tol=0.02):
     return ok
 
 
-def block_independence(stocks, B, checks, tile=8 * 128):
+def block_independence(stocks, B, checks, tile=8 * 128,
+                       name="block_independence"):
     """Std of per-tile means must be ~ population std / sqrt(tile)."""
     import numpy as np
 
@@ -114,12 +115,90 @@ def block_independence(stocks, B, checks, tile=8 * 128):
     expected = float(s.std() / math.sqrt(tile))
     ratio = block_means_std / max(expected, 1e-12)
     ok = ratio < 3.0  # a replayed stream inflates this by ~sqrt(tile) ~ 32x
-    checks["block_independence"] = {
+    checks[name] = {
         "block_means_std": round(block_means_std, 6),
         "iid_expectation": round(expected, 6),
         "ratio": round(ratio, 2),
         "ok": bool(ok),
     }
+    return ok
+
+
+def gaussian_policy_sampling(B, T, checks, seed=999):
+    """Policy-rollout kernel's Gaussian head vs the XLA collect_rollout.
+
+    (VERDICT r2 weak #5.) Three layers:
+    - step-0 action marginals: all envs share obs0, so the kernel's sampled
+      actions must have mean = MLP mean(obs0) (within 6 SE) and
+      std = exp(log_std) (ratio within 2%);
+    - step-0 action block independence: std of per-(8x128)-tile means must
+      be ~ sigma_pop/sqrt(1024) — a replayed stream across lanes/blocks
+      inflates it by ~32x;
+    - whole-trajectory distributions: KS on final stock and on the in-flight
+      episode return vs the XLA collect_rollout at matched (B, T, sigma) —
+      a std-scale or stream-correlation bug anywhere in the T-step loop
+      shifts these.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import gym_fishing_tpu as gft
+    from gym_fishing_tpu.agents import ppo, ppo_fused
+    from gym_fishing_tpu.batch import batched_reset
+
+    env, params = gft.make("fishing-v1", dtype=jnp.float32, sigma=0.05)
+    cfg = ppo.PPOConfig(num_envs=B, num_steps=T, hidden=64)
+    ts = ppo.make_train_state(env, cfg, jax.random.key(5))
+    # a non-degenerate policy: shrink log_std to 0.25 so episodes survive
+    # long enough for the trajectory distributions to be informative
+    new_params = dict(ts.params)
+    new_params["params"] = dict(ts.params["params"])
+    new_params["params"]["log_std"] = jnp.full(
+        (1,), float(np.log(0.25)), jnp.float32
+    )
+    ts = ts.replace(params=new_params)
+    bstate = batched_reset(env, params, B)
+    roll, kb = ppo_fused.fused_rollout_collect(
+        env, params, cfg, ts, bstate, jax.random.key(seed), interpret=False
+    )
+
+    # --- step-0 marginals ---
+    acts0 = np.asarray(roll.packed_t[1, :B], np.float64)
+    obs0 = jnp.full(
+        (1, 1), float(params.init_state) / float(params.K) - 1.0, jnp.float32
+    )
+    (mean0, log_std), _ = ts.apply_fn(ts.params, obs0)
+    mean0 = float(np.asarray(mean0).reshape(()))
+    std0 = float(np.exp(np.asarray(log_std).reshape(())))
+    se = std0 / math.sqrt(B)
+    mean_gap_se = abs(acts0.mean() - mean0) / se
+    std_ratio = float(acts0.std() / std0)
+    ok = mean_gap_se < 6.0 and 0.98 < std_ratio < 1.02
+    checks["gaussian_action_marginals_step0"] = {
+        "mean_kernel": round(float(acts0.mean()), 6),
+        "mean_mlp": round(mean0, 6),
+        "mean_gap_se": round(float(mean_gap_se), 2),
+        "std_kernel": round(float(acts0.std()), 6),
+        "std_policy": round(std0, 6),
+        "std_ratio": round(std_ratio, 4),
+        "ok": bool(ok),
+    }
+
+    # --- step-0 action stream independence across lanes/blocks ---
+    ok &= block_independence(
+        acts0, B, checks, name="gaussian_action_block_independence"
+    )
+
+    # --- trajectory distributions vs the XLA path ---
+    xb, _, xtraj, _ = ppo.collect_rollout(
+        env, params, cfg, ts, batched_reset(env, params, B),
+        jax.random.key(seed + 1),
+    )
+    ok &= compare("gaussian_final_stock", kb.env.stock, xb.env.stock, B,
+                  checks)
+    ok &= compare("gaussian_inflight_return", kb.episode_return,
+                  xb.episode_return, B, checks)
     return ok
 
 
@@ -199,6 +278,10 @@ def main() -> int:
 
     # 5: categorical sampler of the policy-rollout kernel
     ok &= categorical_sampling(B, checks)
+
+    # 6: Gaussian head of the policy-rollout kernel (marginals, stream
+    # independence, whole-trajectory KS vs the XLA collect_rollout)
+    ok &= gaussian_policy_sampling(B, T, checks)
 
     print(json.dumps({
         "kernel_rng_validation": "PASS" if ok else "FAIL",

@@ -98,6 +98,60 @@ def test_kernel_constant_mortality_policy():
     assert float(k.reward.mean()) / 40 == pytest.approx(0.075, abs=0.01)
 
 
+@pytest.mark.parametrize(
+    "policy,param,quota_fn",
+    [
+        ("escapement", 0.5, lambda x: jnp.maximum(x - 0.5, 0.0)),
+        ("constant_mortality", 0.15, lambda x: 0.15 * x),
+    ],
+)
+def test_kernel_relative_scheme_matches_engine_sigma0(policy, param, quota_fn):
+    """fishing-v0's default 3-action relative decode at kernel speed
+    (VERDICT r2 #6): the kernel's carried-harvest snap (argmin over
+    h*{1.0,1.2,0.8}) must equal encode_action∘decode_action through the
+    engine, including harvest resets to init_harvest across auto-resets."""
+    env, params = gft.make(
+        "fishing-v0", dtype=jnp.float32, sigma=0.0, Tmax=13
+    )
+    assert env.config.scheme == "relative"
+    rng = np.random.default_rng(1)
+    stock0 = jnp.asarray(rng.uniform(0.3, 1.2, B), jnp.float32)
+    k = run_kernel(env, params, policy, param, 30, stock0, scheme="relative")
+    xx, xt, xrew, xeps, xepc = xla_reference(env, params, quota_fn, 30, stock0)
+    np.testing.assert_allclose(np.asarray(k.stock), np.asarray(xx), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(k.t), np.asarray(xt))
+    np.testing.assert_allclose(np.asarray(k.reward), np.asarray(xrew),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(k.ep_ret_sum), np.asarray(xeps),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(k.ep_count), np.asarray(xepc))
+
+
+def test_kernel_relative_scheme_carried_harvest_chains():
+    """KernelRollout.harvest must equal the engine's carried harvest so
+    chained rollouts resume exactly."""
+    env, params = gft.make("fishing-v0", dtype=jnp.float32, sigma=0.0, Tmax=50)
+    stock0 = jnp.full((B,), 0.75, jnp.float32)
+    k1 = run_kernel(env, params, "escapement", 0.5, 10, stock0,
+                    scheme="relative")
+    # chain: feed state back in, compare against one 20-step engine run
+    scalars = make_scalars(params, 0.5, seed=3)
+    k2 = pallas_rollout(
+        k1.stock, k1.t, scalars, 10, rows_per_block=8,
+        growth=env.config.growth, noise_form=env.config.noise_form,
+        policy="escapement", scheme="relative", ep_ret=k1.ep_ret,
+        harvest=k1.harvest, interpret=True,
+    )
+    xx, xt, xrew, _, _ = xla_reference(
+        env, params, lambda x: jnp.maximum(x - 0.5, 0.0), 20, stock0
+    )
+    np.testing.assert_allclose(np.asarray(k2.stock), np.asarray(xx), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(k2.t), np.asarray(xt))
+    np.testing.assert_allclose(
+        np.asarray(k1.reward + k2.reward), np.asarray(xrew), atol=2e-5
+    )
+
+
 def test_kernel_autoreset_at_Tmax_and_episode_accounting():
     env, params = gft.make("fishing-v1", dtype=jnp.float32, sigma=0.0, Tmax=7)
     stock0 = jnp.full((B,), 0.75, jnp.float32)

@@ -284,5 +284,5 @@ def test_rollout_scalars_traced_safe():
         return ppo_fused.rollout_scalars(p, jnp.float32(3.0))
 
     s = build(params)
-    assert s.shape[0] == 20
+    assert s.shape[0] == 21
     np.testing.assert_allclose(float(s[1]), float(params.K))

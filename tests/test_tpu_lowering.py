@@ -83,6 +83,20 @@ def test_closed_form_rollout_kernel_lowers_for_tpu(growth, noise_form, policy):
     )
 
 
+@pytest.mark.parametrize("scheme", ["proportional", "relative"])
+def test_closed_form_rollout_kernel_discrete_schemes_lower_for_tpu(scheme):
+    _, params = registry.make("fishing-v0", dtype=jnp.float32)
+    scal = make_scalars(params, 0.5, seed=7)
+    _export_tpu(
+        lambda x, t, s: pallas_rollout(
+            x, t, s, T, rows_per_block=8, policy="escapement", scheme=scheme
+        ),
+        jnp.full((B,), 0.75, jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        scal,
+    )
+
+
 @pytest.mark.parametrize("obs_noise", [False, True])
 def test_closed_form_rollout_kernel_obs_noise_lowers_for_tpu(obs_noise):
     _, params = registry.make("fishing-may-obs-v1", dtype=jnp.float32)
