@@ -20,10 +20,13 @@ import json
 import os
 import sys
 
-# measured headlines (BENCH_NOTES.md): pallas ~16-22B, xla scan ~1.9B steps/s
-_TPU_FLOORS = {"pallas": 4e9, "xla": 4e8}
-# fused PPO train step measured 95.5M env-steps/s at the 4x8 default
-# (BENCH_NOTES update-phase table); floor ~ half of measured (VERDICT r2 #3)
+# Floors recalibrated after the round-3 measurement-methodology correction
+# (BENCH_NOTES "Round 3b"): the old 16-22B/1.9B stepping headlines were
+# inflated by tunnel-lazy dispatch that block_until_ready did not bound.
+# Honest chained+fetched numbers: pallas ~1.3-1.4B, xla ~0.5B steps/s.
+_TPU_FLOORS = {"pallas": 6e8, "xla": 1e8}
+# fused-full PPO train step: honest ~130M env-steps/s at the 4x8 default
+# (chained loop was already honest); floor ~ half of measured (VERDICT r2 #3)
 _PPO_TPU_FLOOR = 4e7
 
 

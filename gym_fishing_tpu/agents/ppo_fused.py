@@ -96,7 +96,7 @@ def fused_epoch_scan(cfg, ts, packed_t, obs_dim, act_dim, k_perm,
                 ts.params, packed_t, cfg.clip_eps, cfg.vf_coef, cfg.ent_coef,
                 obs_dim=obs_dim, act_dim=act_dim, tile=tile,
                 tile_order=order, adv_stats=(mu, inv_std), head=head,
-                interpret=interpret,
+                compute=cfg.compute_dtype, interpret=interpret,
             )
             if axis_name is not None:
                 # mean over equal-size local shards == the global-minibatch
@@ -263,6 +263,7 @@ def fused_grad(
     tile_order=None,       # (G,) i32 tile indices forming the minibatch
     adv_stats=None,        # (mu, inv_std) over the minibatch, if known
     head: str = "gaussian",
+    compute: str = "float32",
     interpret: bool = False,
 ):
     """Full PPO minibatch gradient + metrics via the fused kernel.
@@ -310,7 +311,7 @@ def fused_grad(
     g, met = fused_minibatch_grad(
         data_t, tile_order, weights, scalars, obs_dim=obs_dim,
         act_dim=act_dim, tile=min(tile, data_t.shape[1]), head=head,
-        interpret=interpret,
+        compute=compute, interpret=interpret,
     )
     grads = grads_pytree(g, params, ent_coef, head)
     if head == "gaussian":

@@ -1,10 +1,12 @@
 """Throughput + scaling benchmarks (SURVEY.md §6 / BASELINE.md north star).
 
 Headline metric: batched fishing-v1 env-steps/s on one chip — a jitted
-lax.scan rollout (policy + step + auto-reset fused on device), timed with
-block_until_ready around the device work only. The reference publishes no
-numbers (BASELINE.json "published": {}); the target is the driver's
-50M env-steps/s/chip.
+lax.scan rollout (policy + step + auto-reset fused on device). Timing
+methodology (corrected round 3, see _sync): every timed loop chains each
+iteration on the previous one's outputs AND fetches a host value at the end
+of the window — `block_until_ready` alone is NOT sufficient through a
+remote-TPU tunnel. The reference publishes no numbers (BASELINE.json
+"published": {}); the target is the driver's 50M env-steps/s/chip.
 """
 
 from __future__ import annotations
@@ -20,6 +22,22 @@ from gym_fishing_tpu.batch import rollout as traj_rollout
 from gym_fishing_tpu.shard import shard_batch
 
 BASELINE_STEPS_PER_S = 50_000_000.0  # BASELINE.json target (>= 50M steps/s/chip)
+
+
+def _sync(out) -> float:
+    """Force REAL completion of `out`: fetch one scalar value to the host.
+
+    Through a remote-TPU tunnel (axon), `jax.block_until_ready` can return
+    before the computation actually executes (lazy dispatch), which inflated
+    round-1/2 stepping headlines ~15x (BENCH_NOTES "Round 3b"). A host value
+    fetch of a leaf cannot be elided: it bounds the whole dependency chain.
+    Timed loops must (a) chain each iteration on the previous one's outputs
+    and (b) call _sync on the final output inside the timed window.
+    """
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(leaf).ravel()[0])
 
 
 def measure(
@@ -79,15 +97,15 @@ def measure(
     for _ in range(warmup):
         key, sub = jax.random.split(key)
         out = run(state, sub)
-        jax.block_until_ready(out)
         state = out[0]
+    _sync(out[1])
 
     t0 = time.perf_counter()
     for _ in range(iters):
         key, sub = jax.random.split(key)
         out = run(state, sub)
-        jax.block_until_ready(out)
         state = out[0]
+    _sync(out[1])
     dt = time.perf_counter() - t0
 
     total = num_envs * num_steps * iters
@@ -127,12 +145,12 @@ def _measure_pallas(env_id, num_envs, num_steps, iters, warmup, sigma) -> dict:
     ep = jnp.zeros((num_envs,), jnp.float32)
     for _ in range(warmup):
         stock, t, ep = run(stock, t, ep)
-        jax.block_until_ready((stock, t, ep))
+    _sync(ep)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         stock, t, ep = run(stock, t, ep)
-        jax.block_until_ready((stock, t, ep))
+    _sync(ep)
     dt = time.perf_counter() - t0
 
     total = num_envs * num_steps * iters
@@ -183,15 +201,17 @@ def measure_ppo_train(
 
     for i in range(warmup):
         ts, bstate, metrics = step(ts, bstate, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics)
+    _sync(metrics)
 
-    # async dispatch, block once: a training loop doesn't sync on metrics
-    # every iteration, and a per-iter block would bill the host/tunnel
-    # round-trip latency to the device (measured ~2x inflation via axon)
+    # async dispatch, one value fetch at the end: a training loop doesn't
+    # sync on metrics every iteration (a per-iter fetch bills the tunnel
+    # round-trip to the device), but the final fetch is mandatory — the
+    # iterations chain through ts/bstate, so fetching the last metrics
+    # bounds the real execution of the whole window (see _sync).
     t0 = time.perf_counter()
     for i in range(iters):
         ts, bstate, metrics = step(ts, bstate, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(metrics)
+    _sync(metrics)
     dt = time.perf_counter() - t0
 
     total = num_envs * num_steps * iters

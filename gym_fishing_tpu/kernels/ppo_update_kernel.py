@@ -20,6 +20,21 @@ Network (must match agents/ppo.ActorCritic; both action heads):
     h1 = tanh(x W1 + b1); h2 = tanh(h1 W2 + b2)
     pi_out = h2 Wm + bm (Gaussian mean, or categorical logits);
     value = h2v Wv + bv;   log_std: free param (Gaussian head only)
+
+Merged block-diagonal towers (round 3): both MLP towers ride ONE matmul
+chain — W1c [D, 2H] (concat), W2c [2H, 2H] block-diagonal, Whc [2H, A+1]
+(policy head columns + value column) — exactly MXU-shaped [128, 128] at the
+default hidden=64, mirroring the policy-rollout kernel's merged-tower
+design (see policy_rollout_kernel.py). The zero off-diagonal blocks
+contribute exact zeros, so the merged forward/backward is bit-exact f32
+against the split towers for every real parameter; the off-diagonal blocks
+of the ACCUMULATED dW2c/dWhc hold cross-tower garbage that the wrapper
+slices away (they correspond to no parameter). The 6 half-occupancy
+[64,64]-contraction matmuls per tile become 3 full-occupancy [128,128]
+ones (2x the raw MACs at ~4x the per-MAC rate under compute="bfloat16";
+measured roughly rate-neutral at f32 — the merge is kept for the smaller
+buffer count, which the whole-epoch variant below builds on, and for the
+native-shape bf16 path).
 Loss (must match agents/ppo.ppo_loss):
     ratio = exp(logp - old_logp), adv_n = (adv - mu)/(std + 1e-8)
     pg = -mean(min(ratio*adv_n, clip(ratio, 1±eps)*adv_n))
@@ -84,16 +99,16 @@ def _ppo_grad_kernel(
     order_ref,                    # scalar-prefetch (G,) i32 tile visit order
     scal_ref,                     # SMEM (1, NUM_SCALARS) f32
     data_ref,                     # VMEM (C_PAD, TILE) f32
-    w1p_ref, b1p_ref, w2p_ref, b2p_ref, wm_ref, bm_ref, ls_ref,
-    w1v_ref, b1v_ref, w2v_ref, b2v_ref, wv_ref, bv_ref,
+    # merged-tower weights (see fused_minibatch_grad for layouts):
+    w1c_ref, b1c_ref, w2c_ref, b2c_ref, whc_ref, bhc_ref, ls_ref,
     # outputs (accumulated across the grid):
-    dw1p_ref, db1p_ref, dw2p_ref, db2p_ref, dwm_ref, dbm_ref, dls_ref,
-    dw1v_ref, db1v_ref, dw2v_ref, db2v_ref, dwv_ref, dbv_ref,
+    dw1c_ref, db1c_ref, dw2c_ref, db2c_ref, dwhc_ref, dbhc_ref, dls_ref,
     met_ref,                      # SMEM (1, 4): pg_sum, v_sum, kl_sum, ent_sum
     *,
     obs_dim: int,
     act_dim: int,
     head: str,                    # "gaussian" (continuous) | "categorical"
+    compute: str,                 # "float32" (exact) | "bfloat16" (mixed)
 ):
     eps = scal_ref[0, 0]
     vf_coef = scal_ref[0, 1]
@@ -105,9 +120,8 @@ def _ppo_grad_kernel(
 
     @pl.when(j == 0)
     def _zero():
-        for ref in (dw1p_ref, db1p_ref, dw2p_ref, db2p_ref, dwm_ref, dbm_ref,
-                    dls_ref, dw1v_ref, db1v_ref, dw2v_ref, db2v_ref, dwv_ref,
-                    dbv_ref):
+        for ref in (dw1c_ref, db1c_ref, dw2c_ref, db2c_ref, dwhc_ref,
+                    dbhc_ref, dls_ref):
             ref[:] = jnp.zeros_like(ref)
         met_ref[0, 0] = 0.0
         met_ref[0, 1] = 0.0
@@ -127,27 +141,32 @@ def _ppo_grad_kernel(
     ret = data_ref[D + na + 3:D + na + 4, :]
 
     f32 = jnp.float32
+    # Mixed precision (opt-in): only the three [2H]-contraction matmuls (fwd
+    # W2c, bwd dW2c, bwd g_h1c — >95% of the kernel's MACs) take bf16 INPUTS;
+    # accumulation stays f32 on the MXU (preferred_element_type), all
+    # elementwise math, the head, the rank-1 input layer and every gradient
+    # buffer stay f32. bf16 runs the MXU at native rate where f32 needs a
+    # multi-pass decomposition.
+    mt = jnp.bfloat16 if compute == "bfloat16" else f32
 
-    def fwd(w1, b1, w2, b2):
-        # feature-major: h = tanh(W^T x + b), shapes [H, TILE]
-        p1 = jax.lax.dot_general(
-            w1[:], x, (((0,), (0,)), ((), ())), preferred_element_type=f32
-        ) + b1[:]
-        h1 = jnp.tanh(p1)
-        p2 = jax.lax.dot_general(
-            w2[:], h1, (((0,), (0,)), ((), ())), preferred_element_type=f32
-        ) + b2[:]
-        return h1, jnp.tanh(p2)
+    def mxu(a, b, dims):
+        return jax.lax.dot_general(
+            a.astype(mt), b.astype(mt), (dims, ((), ())),
+            preferred_element_type=f32,
+        )
 
-    h1p, h2p = fwd(w1p_ref, b1p_ref, w2p_ref, b2p_ref)
-    h1v, h2v = fwd(w1v_ref, b1v_ref, w2v_ref, b2v_ref)
-
-    pi_out = jax.lax.dot_general(
-        wm_ref[:], h2p, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    ) + bm_ref[:]                              # [A, TILE] mean or logits
-    value = jax.lax.dot_general(
-        wv_ref[:], h2v, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    ) + bv_ref[:]                              # [1, TILE]
+    # merged feature-major forward: h = tanh(W^T x + b), shapes [2H, TILE]
+    p1c = jax.lax.dot_general(
+        w1c_ref[:], x, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    ) + b1c_ref[:]
+    h1c = jnp.tanh(p1c)
+    p2c = mxu(w2c_ref[:], h1c, ((0,), (0,))) + b2c_ref[:]
+    h2c = jnp.tanh(p2c)                        # [2H, TILE]
+    out_c = jax.lax.dot_general(
+        whc_ref[:], h2c, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    ) + bhc_ref[:]                             # [A+1, TILE]
+    pi_out = out_c[0:act_dim, :]               # [A, TILE] mean or logits
+    value = out_c[act_dim:act_dim + 1, :]      # [1, TILE]
 
     if head == "gaussian":
         log_std = ls_ref[:]                    # [A, 1]
@@ -223,40 +242,35 @@ def _ppo_grad_kernel(
         )                                      # [A, TILE]
         # no log_std parameter: dls_ref stays at its j==0 zero-init
 
-    def bwd_tower(g_top, w_top, h2, h1, w2, xin, dw_top, db_top, dw2, db2,
-                  dw1, db1):
-        # g_top: [A_or_1, TILE] grad at the linear head output
-        dw_top[:] += jax.lax.dot_general(
-            h2, g_top, (((1,), (1,)), ((), ())), preferred_element_type=f32
-        )                                      # [H, A]
-        db_top[:] += jnp.sum(g_top, axis=1, keepdims=True)
-        g_h2 = jax.lax.dot_general(
-            w_top[:], g_top, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )                                      # [H, TILE]
-        g_p2 = g_h2 * (1.0 - h2 * h2)
-        dw2[:] += jax.lax.dot_general(
-            h1, g_p2, (((1,), (1,)), ((), ())), preferred_element_type=f32
-        )                                      # [H, H] (in, out)
-        db2[:] += jnp.sum(g_p2, axis=1, keepdims=True)
-        g_h1 = jax.lax.dot_general(
-            w2[:], g_p2, (((1,), (0,)), ((), ())), preferred_element_type=f32
-        )                                      # [H, TILE]
-        g_p1 = g_h1 * (1.0 - h1 * h1)
-        dw1[:] += jax.lax.dot_general(
-            xin, g_p1, (((1,), (1,)), ((), ())), preferred_element_type=f32
-        )                                      # [D, H]
-        db1[:] += jnp.sum(g_p1, axis=1, keepdims=True)
-
-    bwd_tower(g_mean, wm_ref, h2p, h1p, w2p_ref, x,
-              dwm_ref, dbm_ref, dw2p_ref, db2p_ref, dw1p_ref, db1p_ref)
-    bwd_tower(g_value, wv_ref, h2v, h1v, w2v_ref, x,
-              dwv_ref, dbv_ref, dw2v_ref, db2v_ref, dw1v_ref, db1v_ref)
+    # ---- merged backward: one chain through the block-diagonal weights.
+    # The zero off-diagonal blocks of w2c/whc make g_h1c/g_h2c exactly the
+    # per-tower gradients; the off-diagonal blocks ACCUMULATED into dw2c/dwhc
+    # are cross-tower products the wrapper slices away (no parameter there).
+    g_top_c = jnp.concatenate([g_mean, g_value], axis=0)  # [A+1, TILE]
+    dwhc_ref[:] += jax.lax.dot_general(
+        h2c, g_top_c, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )                                          # [2H, A+1]
+    dbhc_ref[:] += jnp.sum(g_top_c, axis=1, keepdims=True)
+    g_h2c = jax.lax.dot_general(
+        whc_ref[:], g_top_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                          # [2H, TILE]
+    g_p2c = g_h2c * (1.0 - h2c * h2c)
+    dw2c_ref[:] += mxu(h1c, g_p2c, ((1,), (1,)))  # [2H, 2H] (in, out)
+    db2c_ref[:] += jnp.sum(g_p2c, axis=1, keepdims=True)
+    g_h1c = mxu(w2c_ref[:], g_p2c, ((1,), (0,)))  # [2H, TILE]
+    g_p1c = g_h1c * (1.0 - h1c * h1c)
+    dw1c_ref[:] += jax.lax.dot_general(
+        x, g_p1c, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )                                          # [D, 2H]
+    db1c_ref[:] += jnp.sum(g_p1c, axis=1, keepdims=True)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("obs_dim", "act_dim", "tile", "head", "interpret"),
+    static_argnames=(
+        "obs_dim", "act_dim", "tile", "head", "compute", "interpret"
+    ),
 )
 def fused_minibatch_grad(
     data: jax.Array,        # [C_PAD, N] f32 feature-major packed samples
@@ -267,6 +281,7 @@ def fused_minibatch_grad(
     act_dim: int,
     tile: int = 2048,
     head: str = "gaussian",
+    compute: str = "float32",
     interpret: bool = False,
 ):
     """One fused pass -> (PPOGrads, metric sums [pg, v, kl, spare]).
@@ -282,6 +297,11 @@ def fused_minibatch_grad(
     from/to the flax pytree, tiny arrays so it's free):
       W1 [D, H], b1 [H, 1], W2 [H, H] (in, out), b2 [H, 1],
       Wm [H, A], bm [A, 1], log_std [A, 1], and the value tower with A=1.
+
+    Internally the towers are merged block-diagonally (W1c [D, 2H], W2c
+    [2H, 2H], Whc [2H, A+1] — see the module docstring) so the hot matmuls
+    are full-MXU [128, 128] contractions at hidden=64; the merge and the
+    gradient un-merge below are O(H^2) XLA ops, negligible next to the pass.
     """
     cpad, n = data.shape
     na = act_dim if head == "gaussian" else 1
@@ -289,13 +309,40 @@ def fused_minibatch_grad(
     assert obs_dim + na + 4 <= cpad
     grid = tile_order.shape[0]
     kernel = functools.partial(
-        _ppo_grad_kernel, obs_dim=obs_dim, act_dim=act_dim, head=head
+        _ppo_grad_kernel, obs_dim=obs_dim, act_dim=act_dim, head=head,
+        compute=compute,
     )
+
+    (w1p, b1p, w2p, b2p, wm, bm, ls, w1v, b1v, w2v, b2v, wv, bv) = weights
+    h = w1p.shape[1]
+    a = wm.shape[1]
+    f32 = jnp.float32
+    w1c = jnp.concatenate([w1p, w1v], axis=1)              # [D, 2H]
+    b1c = jnp.concatenate([b1p, b1v], axis=0)              # [2H, 1]
+    zhh = jnp.zeros((h, h), f32)
+    w2c = jnp.concatenate(
+        [
+            jnp.concatenate([w2p, zhh], axis=1),
+            jnp.concatenate([zhh, w2v], axis=1),
+        ],
+        axis=0,
+    )                                                      # [2H, 2H]
+    b2c = jnp.concatenate([b2p, b2v], axis=0)              # [2H, 1]
+    whc = jnp.concatenate(
+        [
+            jnp.concatenate([wm, jnp.zeros((h, 1), f32)], axis=1),
+            jnp.concatenate([jnp.zeros((h, a), f32), wv], axis=1),
+        ],
+        axis=0,
+    )                                                      # [2H, A+1]
+    bhc = jnp.concatenate([bm, bv], axis=0)                # [A+1, 1]
+    merged = (w1c, b1c, w2c, b2c, whc, bhc, ls)
+
     whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+    out_shape = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in merged]
     out_specs = [
         pl.BlockSpec(w.shape, lambda j, order: (0, 0), memory_space=pltpu.VMEM)
-        for w in weights
+        for w in merged
     ]
     out_shape.append(jax.ShapeDtypeStruct((1, 4), jnp.float32))
     out_specs.append(
@@ -311,7 +358,7 @@ def fused_minibatch_grad(
                 lambda j, order: (0, order[j]),
                 memory_space=pltpu.VMEM,
             ),
-        ] + [whole() for _ in weights],
+        ] + [whole() for _ in merged],
         out_specs=out_specs,
     )
     outs = pl.pallas_call(
@@ -319,5 +366,12 @@ def fused_minibatch_grad(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(tile_order.astype(jnp.int32), scalars.reshape(1, -1), data, *weights)
-    return PPOGrads(*outs[:-1]), outs[-1][0]
+    )(tile_order.astype(jnp.int32), scalars.reshape(1, -1), data, *merged)
+    dw1c, db1c, dw2c, db2c, dwhc, dbhc, dls = outs[:-1]
+    grads = PPOGrads(
+        dW1p=dw1c[:, :h], db1p=db1c[:h], dW2p=dw2c[:h, :h], db2p=db2c[:h],
+        dWm=dwhc[:h, :a], dbm=dbhc[:a], dlog_std=dls,
+        dW1v=dw1c[:, h:], db1v=db1c[h:], dW2v=dw2c[h:, h:], db2v=db2c[h:],
+        dWv=dwhc[h:, a:], dbv=dbhc[a:],
+    )
+    return grads, outs[-1][0]

@@ -348,3 +348,30 @@ def test_fused_grad_multi_tile_accumulation():
         g1, g4,
     )
     np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]), rtol=1e-5)
+
+
+def test_fused_grad_bfloat16_close_to_f32():
+    """Opt-in mixed precision (compute="bfloat16"): bf16 inputs on the three
+    [2H]-contraction matmuls, f32 accumulation/elementwise. Gradients must
+    track the exact f32 kernel to bf16-input accuracy (~1e-2 relative) —
+    direction-preserving, validated for learning quality on hardware
+    (BENCH_NOTES round 3)."""
+    cfg, ts, params, batch, packed = _setup(seed=5, n=512)
+    mb_t = ppo_fused.pack_feature_major(packed)
+    g32, m32 = ppo_fused.fused_grad(
+        params, mb_t, cfg.clip_eps, cfg.vf_coef, cfg.ent_coef,
+        obs_dim=1, act_dim=1, tile=128, interpret=True,
+    )
+    g16, m16 = ppo_fused.fused_grad(
+        params, mb_t, cfg.clip_eps, cfg.vf_coef, cfg.ent_coef,
+        obs_dim=1, act_dim=1, tile=128, compute="bfloat16", interpret=True,
+    )
+    # cosine similarity of the full gradient vector: direction preserved
+    a = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g32)])
+    b = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g16)])
+    cos = float(jnp.vdot(a, b) / (jnp.linalg.norm(a) * jnp.linalg.norm(b)))
+    assert cos > 0.999, cos
+    # loss metric computed from the bf16 forward stays close
+    np.testing.assert_allclose(
+        float(m16["loss"]), float(m32["loss"]), rtol=2e-2, atol=2e-3
+    )
