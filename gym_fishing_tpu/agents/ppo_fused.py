@@ -37,7 +37,7 @@ def rollout_scalars(params, seed) -> jax.Array:
         params.Tmax, params.init_state, seed, params.A, params.B, params.C,
         params.theta, params.a, params.b, params.q, params.collapse_penalty,
         params.r_drift, params.cost, 0.0, params.sigma_m,
-        params.init_harvest,
+        params.init_harvest, params.model_idx,
     ]
     return jnp.stack(
         [jnp.asarray(v, jnp.float32).reshape(()) for v in vals]

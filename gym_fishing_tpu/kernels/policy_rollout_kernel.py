@@ -29,8 +29,11 @@ tests/test_policy_rollout_kernel.py (the Mosaic interpreter's PRNG yields
 zero bits on CPU, making the kernel deterministic there by construction).
 All three decode schemes; obs_noise=True adds the engine's lognormal
 measurement noise (sigma_m) to the policy input, matching
-batch/batch.py batched_step(autoreset=True). growth="mixture" is the one
-unsupported variant (per-instance model sampling; loud NotImplementedError).
+batch/batch.py batched_step(autoreset=True). growth="mixture" selects the
+effective model by scalar slot 21 (model_idx), exactly like the XLA train
+path (dynamics/growth.mixture with the scalar env_params the train loop
+closes over); per-INSTANCE model arrays remain the batch/randomized.py
+engine path's domain.
 
 Reference: the reference collects rollouts through external sb3 + eager
 NumPy stepping (SURVEY.md §3.5; reconstructed); nothing here is a port.
@@ -398,13 +401,7 @@ def pallas_policy_rollout(
     obs_noise=True applies the engine's lognormal measurement noise
     (scalars slot 19 = sigma_m) to every live env's policy input.
     """
-    if growth == "mixture":
-        raise NotImplementedError(
-            "fused_rollout does not support growth='mixture' (per-instance "
-            "growth-model sampling); use the XLA train path "
-            "(PPOConfig(fused_rollout=False)) for randomized-model envs"
-        )
-    assert growth in GROWTH_MODELS and noise_form in NOISE_FORMS
+    assert growth in GROWTH_MODELS + ("mixture",) and noise_form in NOISE_FORMS
     assert scheme in ("continuous", "proportional", "relative")
     B = stock.shape[0]
     E = envs_per_block

@@ -33,8 +33,10 @@ slices away (they correspond to no parameter). The 6 half-occupancy
 [64,64]-contraction matmuls per tile become 3 full-occupancy [128,128]
 ones (2x the raw MACs at ~4x the per-MAC rate under compute="bfloat16";
 measured roughly rate-neutral at f32 — the merge is kept for the smaller
-buffer count, which the whole-epoch variant below builds on, and for the
-native-shape bf16 path).
+buffer count and for the native-shape bf16 path. Round-3 tuning sweeps
+pinned the epoch as matmul-throughput-bound at ~57 TFLOP/s effective:
+bigger tiles and bf16 inputs both measured neutral-to-worse, see
+BENCH_NOTES "Round 3c").
 Loss (must match agents/ppo.ppo_loss):
     ratio = exp(logp - old_logp), adv_n = (adv - mu)/(std + 1e-8)
     pg = -mean(min(ratio*adv_n, clip(ratio, 1±eps)*adv_n))

@@ -53,7 +53,7 @@ from gym_fishing_tpu.core.types import (
 
 LANES = 128
 TWO_PI = 6.283185307179586
-NUM_SCALARS = 21
+NUM_SCALARS = 22
 POLICIES = ("escapement", "constant_mortality", "constant")
 SCHEMES = ("continuous", "proportional", "relative")
 
@@ -61,7 +61,7 @@ SCHEMES = ("continuous", "proportional", "relative")
 # action_scale in slot 3 and never reads 18 — its n_actions is static):
 #  0:r 1:K 2:sigma 3:policy_param 4:price 5:Tmax 6:init_state 7:seed
 #  8:A 9:B 10:C 11:theta 12:a 13:b 14:q 15:collapse_penalty 16:r_drift
-# 17:cost 18:n_actions 19:sigma_m 20:init_harvest
+# 17:cost 18:n_actions 19:sigma_m 20:init_harvest 21:model_idx (mixture)
 
 
 class KernelRollout(NamedTuple):
@@ -114,6 +114,16 @@ def _growth(growth: str, s, x, r):
         # scalar powf does not legalize in Mosaic; b > 0 so use exp/log
         bq = jnp.exp(q * jnp.log(b))
         return x + r * x * (1.0 - x / K) - a * xq / (xq + bq)
+    if growth == "mixture":
+        # model-uncertainty variant (dynamics/growth.mixture): all six
+        # updates computed, where-selected by slot 21 (model_idx) — the
+        # same branchless select the XLA engine vectorizes under vmap.
+        idx = s[21]
+        out = _growth(GROWTH_MODELS[0], s, x, r)
+        for k in range(1, len(GROWTH_MODELS)):
+            cand = _growth(GROWTH_MODELS[k], s, x, r)
+            out = jnp.where(idx == jnp.float32(k), cand, out)
+        return out
     raise ValueError(f"unknown growth model {growth!r}")
 
 
@@ -288,7 +298,7 @@ def pallas_rollout(
     rollouts with exact episode accounting; `harvest` defaults to the
     scalars' init_harvest (slot 20).
     """
-    assert growth in GROWTH_MODELS and noise_form in NOISE_FORMS
+    assert growth in GROWTH_MODELS + ("mixture",) and noise_form in NOISE_FORMS
     assert policy in POLICIES and scheme in SCHEMES
     assert obs_noise or num_steps % 2 == 0, (
         "num_steps must be even (2-step unrolled body)"
@@ -351,5 +361,6 @@ def make_scalars(params, policy_param, seed: int, n_actions: int = 3) -> jax.Arr
         params.A, params.B, params.C, params.theta,
         params.a, params.b, params.q, params.collapse_penalty, params.r_drift,
         params.cost, n_actions, params.sigma_m, params.init_harvest,
+        params.model_idx,
     ]
     return jnp.asarray([float(v) for v in vals], jnp.float32)

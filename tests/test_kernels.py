@@ -86,6 +86,32 @@ def test_kernel_matches_engine_sigma0(growth, r):
     np.testing.assert_array_equal(np.asarray(k.ep_count), np.asarray(xepc))
 
 
+def test_kernel_matches_engine_sigma0_mixture():
+    """Model-uncertainty mixture: scalar model_idx (slot 21) selects the
+    effective growth in-kernel exactly like dynamics/growth.mixture."""
+    env, params = gft.make(
+        "fishing-v1", dtype=jnp.float32, sigma=0.0, growth="mixture",
+        model_idx=3, Tmax=13,
+    )
+    rng = np.random.default_rng(0)
+    stock0 = jnp.asarray(rng.uniform(0.3, 1.2, B), jnp.float32)
+    S = 0.5
+    k = run_kernel(env, params, "escapement", S, 30, stock0)
+    xx, xt, xrew, xeps, xepc = xla_reference(
+        env, params, lambda x: jnp.maximum(x - S, 0.0), 30, stock0
+    )
+    np.testing.assert_allclose(np.asarray(k.stock), np.asarray(xx), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(k.t), np.asarray(xt))
+    np.testing.assert_allclose(np.asarray(k.reward), np.asarray(xrew), atol=2e-5)
+    # model_idx=3 is allen: must differ from the logistic (model_idx=0) run
+    env0, params0 = gft.make(
+        "fishing-v1", dtype=jnp.float32, sigma=0.0, growth="mixture",
+        model_idx=0, Tmax=13,
+    )
+    k0 = run_kernel(env0, params0, "escapement", S, 30, stock0)
+    assert not np.allclose(np.asarray(k.stock), np.asarray(k0.stock))
+
+
 def test_kernel_constant_mortality_policy():
     env, params = gft.make("fishing-v1", dtype=jnp.float32, sigma=0.0, Tmax=50)
     stock0 = jnp.full((B,), 0.75, jnp.float32)

@@ -126,6 +126,9 @@ def _reference_rollout_z0(env, params, ts, bstate, T, gamma, lam):
         # wiring (eta = 0 under the interpreter, so the z=0 reference with
         # noise-free get_obs still matches exactly)
         ("fishing-may-obs-v1", dict(Tmax=6)),
+        # model-uncertainty mixture: scalar model_idx selects the growth
+        # (3 = allen) via the kernel's slot-21 where-select chain
+        ("fishing-mixture-v1", dict(model_idx=3, sigma=0.05, Tmax=5)),
     ],
 )
 def test_policy_rollout_kernel_matches_reference_z0(env_id, overrides):
@@ -246,18 +249,27 @@ def test_fused_rollout_requires_fused_update():
         ppo.train_step(env, params, cfg, ts, bstate, jax.random.key(0))
 
 
-def test_fused_rollout_rejects_mixture_growth():
-    """growth='mixture' must fail loudly (VERDICT r2 weak #4), not as a bare
-    AssertionError deep in the kernel."""
-    env, params = registry.make("fishing-mixture-v1", dtype=jnp.float32)
+def test_fused_rollout_train_step_smoke_mixture():
+    """Full fused pipeline on the model-uncertainty mixture env (the last
+    variant the fused path used to guard out — VERDICT r2 weak #4)."""
+    env, params = registry.make(
+        "fishing-mixture-v1", dtype=jnp.float32, model_idx=1, sigma=0.05
+    )
     cfg = ppo.PPOConfig(
-        num_envs=128, num_steps=16, hidden=32,
+        num_envs=128, num_steps=16, epochs=2, num_minibatches=2, hidden=32,
         fused_update=True, fused_rollout=True,
     )
     ts = ppo.make_train_state(env, cfg, jax.random.key(0))
     bstate = batched_reset(env, params, cfg.num_envs)
-    with pytest.raises(NotImplementedError, match="mixture"):
-        ppo.train_step(env, params, cfg, ts, bstate, jax.random.key(0))
+    step = jax.jit(
+        lambda ts, bs, k: ppo.train_step(env, params, cfg, ts, bs, k)
+    )
+    for i in range(2):
+        ts, bstate, metrics = step(ts, bstate, jax.random.key(i))
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(
+        np.all(np.isfinite(np.asarray(v))) for v in jax.tree.leaves(ts.params)
+    )
 
 
 def test_fused_rollout_rejects_traced_sigma_m():
@@ -284,5 +296,5 @@ def test_rollout_scalars_traced_safe():
         return ppo_fused.rollout_scalars(p, jnp.float32(3.0))
 
     s = build(params)
-    assert s.shape[0] == 21
+    assert s.shape[0] == 22
     np.testing.assert_allclose(float(s[1]), float(params.K))

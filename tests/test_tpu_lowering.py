@@ -67,6 +67,7 @@ def _weights(env_id="fishing-v1", hidden=32):
         ("beverton_holt", "additive", "constant"),
         ("allen", "lognormal", "escapement"),
         ("myers", "additive", "constant_mortality"),
+        ("mixture", "additive", "escapement"),
     ],
 )
 def test_closed_form_rollout_kernel_lowers_for_tpu(growth, noise_form, policy):
@@ -119,6 +120,7 @@ def test_closed_form_rollout_kernel_obs_noise_lowers_for_tpu(obs_noise):
         ("fishing-may-obs-v1", {}, True),               # Gaussian + obs noise
         ("fishing-v0", {}, False),                      # categorical/relative
         ("fishing-v0", dict(n_actions=8), False),       # categorical/proport.
+        ("fishing-mixture-v1", dict(model_idx=2), False),  # mixture select
     ],
 )
 def test_policy_rollout_kernel_lowers_for_tpu(env_id, scheme_kw, obs_noise):
