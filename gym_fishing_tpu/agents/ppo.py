@@ -62,9 +62,11 @@ class PPOConfig:
     # (kernels/policy_rollout_kernel.py): policy forward, action sampling
     # (Gaussian or categorical by scheme), env dynamics, auto-reset and the
     # GAE reverse pass all run in VMEM and emit the packed sample matrix
-    # directly. Requires fused_update, scalar obs (no ObsStack),
-    # sigma_m == 0. RNG is the kernel's on-chip PRNG, so trajectories match
-    # the XLA path statistically, not bitwise.
+    # directly. Requires fused_update and scalar obs (no ObsStack).
+    # Observation noise (sigma_m > 0) is supported as long as sigma_m is a
+    # static float in the params (a traced sigma_m raises loudly in
+    # agents/ppo_fused.py). RNG is the kernel's on-chip PRNG, so
+    # trajectories match the XLA path statistically, not bitwise.
     fused_rollout: bool = False
     # 'exact': fresh jax.random.permutation per epoch (a full sort — measured
     # ~10 ms at N=2^21 on v5e). 'affine': index bijection i -> (a*i+b) mod N

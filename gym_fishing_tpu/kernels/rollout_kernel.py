@@ -118,7 +118,10 @@ def _growth(growth: str, s, x, r):
         # model-uncertainty variant (dynamics/growth.mixture): all six
         # updates computed, where-selected by slot 21 (model_idx) — the
         # same branchless select the XLA engine vectorizes under vmap.
-        idx = s[21]
+        # The engine casts model_idx to int32 (truncation); model_idx >= 0,
+        # so floor == trunc and a non-integer idx selects the same model
+        # on both paths.
+        idx = jnp.floor(s[21])
         out = _growth(GROWTH_MODELS[0], s, x, r)
         for k in range(1, len(GROWTH_MODELS)):
             cand = _growth(GROWTH_MODELS[k], s, x, r)

@@ -53,7 +53,8 @@ def make_sharded_fused_train_step(
     cfg.num_envs is the GLOBAL env count; bstate must be sharded over
     `axis` (shard.mesh.shard_batch / host_local_to_global), ts replicated.
     Requires cfg.fused_update (and uses the fused rollout kernel — same
-    constraints: scalar obs, sigma_m == 0, float32; both action heads).
+    constraints: scalar obs, static sigma_m, float32; both action heads;
+    obs-noise and mixture growth supported via the static scalar slots).
     """
     ndev = int(mesh.shape[axis])
     if cfg.num_envs % ndev != 0:

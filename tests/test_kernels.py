@@ -112,6 +112,25 @@ def test_kernel_matches_engine_sigma0_mixture():
     assert not np.allclose(np.asarray(k.stock), np.asarray(k0.stock))
 
 
+def test_kernel_mixture_noninteger_model_idx_truncates_like_engine():
+    """A non-integer model_idx must select the same model on both paths:
+    the engine casts to int32 (truncation), the kernel floors slot 21 —
+    identical for model_idx >= 0 (ADVICE r3: float-equality would silently
+    pick logistic in-kernel while the engine picked beverton_holt)."""
+    env, params = gft.make(
+        "fishing-v1", dtype=jnp.float32, sigma=0.0, growth="mixture",
+        model_idx=2.9, Tmax=13,
+    )
+    rng = np.random.default_rng(1)
+    stock0 = jnp.asarray(rng.uniform(0.3, 1.2, B), jnp.float32)
+    k = run_kernel(env, params, "escapement", 0.5, 30, stock0)
+    xx, xt, xrew, _, _ = xla_reference(
+        env, params, lambda x: jnp.maximum(x - 0.5, 0.0), 30, stock0
+    )
+    np.testing.assert_allclose(np.asarray(k.stock), np.asarray(xx), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(k.t), np.asarray(xt))
+
+
 def test_kernel_constant_mortality_policy():
     env, params = gft.make("fishing-v1", dtype=jnp.float32, sigma=0.0, Tmax=50)
     stock0 = jnp.full((B,), 0.75, jnp.float32)
