@@ -20,14 +20,27 @@ import json
 import os
 import sys
 
-# Floors recalibrated after the round-3 measurement-methodology correction
-# (BENCH_NOTES "Round 3b"): the old 16-22B/1.9B stepping headlines were
-# inflated by tunnel-lazy dispatch that block_until_ready did not bound.
-# Honest chained+fetched numbers: pallas ~1.3-1.4B, xla ~0.5B steps/s.
-_TPU_FLOORS = {"pallas": 6e8, "xla": 1e8}
+# Floors calibrated from data (BENCH_NOTES "Round 4", honest chained+fetched
+# methodology at the bench default B=2^21 T=512): pallas 9.5-13.8B measured
+# across sessions (floor 6e8 also covers the dispatch-bound small-config
+# regime), xla 3.3B measured -> floor ~4x under.
+_TPU_FLOORS = {"pallas": 6e8, "xla": 8e8}
 # fused-full PPO train step: honest ~130M env-steps/s at the 4x8 default
 # (chained loop was already honest); floor ~ half of measured (VERDICT r2 #3)
 _PPO_TPU_FLOOR = 4e7
+
+
+def _git_sha() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 
 
 def main() -> None:
@@ -63,12 +76,33 @@ def main() -> None:
     # pallas_policy_rollout (interpret=False), so a kernel that stops
     # compiling on hardware fails the driver's bench run itself (VERDICT r2
     # #8), and a learner-throughput regression trips the floor (#3).
+    # Provenance (VERDICT r3 #6): config + methodology + git SHA ride the
+    # JSON line so BENCH_rN artifacts are self-describing and cross-round
+    # comparable (r01/r02 used the pre-correction methodology; see
+    # BENCH_NOTES "Round 3b").
     line = {
         "metric": f"env-steps/s per chip ({env_id} batched)",
         "value": res["steps_per_s"],
         "unit": "steps/s",
         "vs_baseline": res["vs_baseline"],
+        "config": {
+            "mode": res["mode"],
+            "num_envs": res["num_envs"],
+            "num_steps": res["num_steps"],
+            "iters": res["iters"],
+        },
+        "methodology": "chained+fetched",
+        "git_sha": _git_sha(),
     }
+    # Also record the general-purpose XLA engine at the same shape in the
+    # same run (one line, both stepping paths) unless that IS the main mode.
+    if res["mode"] == "pallas" and os.environ.get("BENCH_SKIP_XLA") != "1":
+        xla_res = measure(
+            env_id=env_id, num_envs=num_envs, num_steps=num_steps,
+            iters=int(os.environ.get("BENCH_XLA_ITERS", 3)), mode="xla",
+        )
+        line["xla_steps_per_s"] = xla_res["steps_per_s"]
+        line["xla_vs_baseline"] = xla_res["vs_baseline"]
     ppo_res = None
     if on_tpu and os.environ.get("BENCH_SKIP_PPO") != "1":
         from gym_fishing_tpu.bench.throughput import measure_ppo_train
