@@ -41,6 +41,12 @@ def main():
         "--shuffle", choices=["exact", "affine"], default="exact",
         help="PPO only: epoch shuffle for the XLA update path",
     )
+    ap.add_argument(
+        "--fused-adam", action="store_true",
+        help="PPO only (requires --fused): run clip-by-global-norm + Adam "
+        "inside the update kernel (one launch per minibatch, no per-"
+        "minibatch optax glue)",
+    )
     args = ap.parse_args()
 
     # amortize axon remote compiles across runs
@@ -62,6 +68,7 @@ def main():
         {
             "fused_update": args.fused in ("update", "full"),
             "fused_rollout": args.fused == "full",
+            "fused_adam": args.fused_adam,
             "shuffle": args.shuffle,
         }
         if args.algo == "ppo"

@@ -68,6 +68,15 @@ class PPOConfig:
     # agents/ppo_fused.py). RNG is the kernel's on-chip PRNG, so
     # trajectories match the XLA path statistically, not bitwise.
     fused_rollout: bool = False
+    # fused_adam=True (requires fused_update, single-device, constant lr)
+    # moves clip-by-global-norm + Adam INSIDE the update kernel: each
+    # minibatch is one pallas launch computing gradient + optimizer step on
+    # the VMEM-resident merged buffers, and optax state is read/written once
+    # per train step instead of per minibatch. Bit-compatible with the optax
+    # chain to f32 tolerance (tests/test_update_kernel.py). The sharded
+    # shard_map path ignores this flag (it must pmean gradients before the
+    # update, so it keeps optax).
+    fused_adam: bool = False
     # 'exact': fresh jax.random.permutation per epoch (a full sort — measured
     # ~10 ms at N=2^21 on v5e). 'affine': index bijection i -> (a*i+b) mod N
     # with random odd a (N a power of two), computed on the fly — an
@@ -394,10 +403,16 @@ def train_step(
             packed_t = packed_t_pre
         else:
             packed_t = ppo_fused.pack_feature_major(packed)  # [C', N], once
-        ts, metrics = ppo_fused.fused_epoch_scan(
-            cfg, ts, packed_t, obs_dim, kern_act_dim, k_perm, head=head,
-            interpret=interpret
-        )
+        if cfg.fused_adam:
+            ts, metrics = ppo_fused.fused_epoch_scan_adam(
+                cfg, ts, packed_t, obs_dim, kern_act_dim, k_perm, head=head,
+                interpret=interpret
+            )
+        else:
+            ts, metrics = ppo_fused.fused_epoch_scan(
+                cfg, ts, packed_t, obs_dim, kern_act_dim, k_perm, head=head,
+                interpret=interpret
+            )
 
     else:
 

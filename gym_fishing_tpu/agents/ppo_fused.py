@@ -15,10 +15,14 @@ import jax
 import jax.numpy as jnp
 
 from gym_fishing_tpu.kernels.ppo_update_kernel import (
+    ADAM_NUM_SCALARS,
     C_PAD,
     NUM_SCALARS,
     PPOGrads,
     fused_minibatch_grad,
+    fused_minibatch_grad_adam,
+    merge_weights,
+    unmerge_weights,
 )
 
 LOG_2PI_E = 2.837877066409345  # log(2*pi*e)
@@ -109,6 +113,190 @@ def fused_epoch_scan(cfg, ts, packed_t, obs_dim, act_dim, k_perm,
         return jax.lax.scan(minibatch, ts, jnp.arange(cfg.num_minibatches))
 
     return jax.lax.scan(epoch, ts, jax.random.split(k_perm, cfg.epochs))
+
+
+def _find_adam_state(opt_state):
+    """Locate the single ScaleByAdamState inside an optax chain state."""
+    import optax
+
+    hits = [
+        s for s in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)
+        )
+        if isinstance(s, optax.ScaleByAdamState)
+    ]
+    if len(hits) != 1:
+        raise NotImplementedError(
+            "fused_adam expects exactly one ScaleByAdamState in the "
+            f"optimizer chain, found {len(hits)}"
+        )
+    return hits[0]
+
+
+def _replace_adam_state(opt_state, new_adam):
+    import optax
+
+    def sub(s):
+        return new_adam if isinstance(s, optax.ScaleByAdamState) else s
+
+    return jax.tree_util.tree_map(
+        sub, opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState),
+    )
+
+
+def fused_epoch_scan_adam(cfg, ts, packed_t, obs_dim, act_dim, k_perm,
+                          head: str = "gaussian", interpret: bool = False):
+    """fused_epoch_scan with the optimizer fused INTO the kernel.
+
+    Single-device only (the sharded path must pmean gradients before the
+    update, so it keeps optax — shard/fused_ppo.py). Each minibatch is ONE
+    pallas launch computing gradient + global-norm clip + Adam
+    (kernels/ppo_update_kernel.fused_minibatch_grad_adam); the scan carries
+    the merged weights and Adam moments, and optax state is read once
+    before and written back once after — removing the 32 per-minibatch
+    optax applies and grads->pytree relayouts (VERDICT r3 #3).
+
+    Semantics match optax.chain(clip_by_global_norm, adam(lr, eps=1e-5))
+    with a CONSTANT lr (anneal_lr raises); validated against the optax
+    path in tests/test_update_kernel.py.
+    """
+    if cfg.anneal_lr:
+        raise NotImplementedError(
+            "fused_adam supports constant lr only (anneal_lr=False); the "
+            "optax path handles schedules"
+        )
+    batch_local = packed_t.shape[1]
+    mb_local = batch_local // cfg.num_minibatches
+    tile = next(
+        (t for t in (2048, 1024, 512, 256, 128) if mb_local % t == 0), None
+    )
+    if tile is None:
+        raise ValueError(
+            f"fused_update needs local minibatch size {mb_local} "
+            "divisible by 128"
+        )
+    num_tiles = batch_local // tile
+    tiles_per_mb = mb_local // tile
+    na = act_dim if head == "gaussian" else 1
+    adv_tiles = packed_t[obs_dim + na + 2].reshape(num_tiles, tile)
+    tile_sum = adv_tiles.sum(axis=1)
+    tile_sumsq = (adv_tiles * adv_tiles).sum(axis=1)
+
+    adam = _find_adam_state(ts.opt_state)
+    merged_w = merge_weights(kernel_weights(ts.params, head))
+    merged_m = merge_weights(kernel_weights(adam.mu, head))
+    merged_v = merge_weights(kernel_weights(adam.nu, head))
+    count0 = adam.count
+
+    base = jnp.stack([
+        jnp.float32(cfg.clip_eps), jnp.float32(cfg.vf_coef),
+        jnp.float32(1.0 / mb_local), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(cfg.ent_coef),
+    ])
+
+    log_std0 = ts.params["params"].get("log_std")  # entropy metric (gaussian)
+
+    def epoch(carry, ep_key):
+        w, m, v, count = carry
+        tile_perm = jax.random.permutation(ep_key, num_tiles)
+
+        def minibatch(carry, i):
+            w, m, v, count = carry
+            order = jax.lax.dynamic_slice(
+                tile_perm, (i * tiles_per_mb,), (tiles_per_mb,)
+            )
+            s = jnp.take(tile_sum, order).sum()
+            ss = jnp.take(tile_sumsq, order).sum()
+            n = jnp.float32(mb_local)
+            mu = s / n
+            var = ss / n - mu * mu
+            inv_std = 1.0 / (jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-8)
+            count1 = count + 1
+            tf = count1.astype(jnp.float32)
+            bc1 = 1.0 - jnp.power(jnp.float32(0.9), tf)
+            bc2 = 1.0 - jnp.power(jnp.float32(0.999), tf)
+            scalars = jnp.zeros((ADAM_NUM_SCALARS,), jnp.float32)
+            scalars = scalars.at[0:6].set(base)
+            scalars = scalars.at[3].set(mu)
+            scalars = scalars.at[4].set(inv_std)
+            scalars = scalars.at[8].set(jnp.float32(cfg.lr))
+            scalars = scalars.at[9].set(bc1)
+            scalars = scalars.at[10].set(bc2)
+            w, m, v, met = fused_minibatch_grad_adam(
+                packed_t, order, w, m, v, scalars, obs_dim=obs_dim,
+                act_dim=act_dim, tile=tile, head=head,
+                compute=cfg.compute_dtype, max_grad_norm=cfg.max_grad_norm,
+                interpret=interpret,
+            )
+            inv_n = 1.0 / n
+            pg_loss = met[0] * inv_n
+            v_loss = met[1] * inv_n
+            if head == "gaussian":
+                entropy = jnp.sum(log_std0 + 0.5 * LOG_2PI_E)
+            else:
+                entropy = met[3] * inv_n
+            metrics = {
+                "pg_loss": pg_loss,
+                "v_loss": v_loss,
+                "entropy": entropy,
+                "approx_kl": met[2] * inv_n,
+                "loss": pg_loss + cfg.vf_coef * v_loss
+                - cfg.ent_coef * entropy,
+            }
+            return (w, m, v, count1), metrics
+
+        return jax.lax.scan(
+            minibatch, (w, m, v, count), jnp.arange(cfg.num_minibatches)
+        )
+
+    (merged_w, merged_m, merged_v, count), metrics = jax.lax.scan(
+        epoch, (merged_w, merged_m, merged_v, count0),
+        jax.random.split(k_perm, cfg.epochs),
+    )
+
+    h = ts.params["params"]["pi_d1"]["kernel"].shape[1]
+    a = (
+        ts.params["params"]["pi_mean"]["kernel"].shape[1]
+        if head == "gaussian"
+        else ts.params["params"]["pi_logits"]["kernel"].shape[1]
+    )
+
+    def to_params(merged, include_log_std: bool):
+        (w1p, b1p, w2p, b2p, wm, bm, ls, w1v, b1v, w2v, b2v, wv, bv) = (
+            unmerge_weights(merged, h, a)
+        )
+        row = lambda x: x.reshape(-1)
+        pi_head = "pi_mean" if head == "gaussian" else "pi_logits"
+        tree = {
+            "params": {
+                "pi_d1": {"kernel": w1p, "bias": row(b1p)},
+                "pi_d2": {"kernel": w2p, "bias": row(b2p)},
+                pi_head: {"kernel": wm, "bias": row(bm)},
+                "v_d1": {"kernel": w1v, "bias": row(b1v)},
+                "v_d2": {"kernel": w2v, "bias": row(b2v)},
+                "v_out": {"kernel": wv, "bias": row(bv)},
+            }
+        }
+        if include_log_std:
+            tree["params"]["log_std"] = row(ls)
+        return tree
+
+    has_log_std = head == "gaussian"
+    import optax
+
+    new_adam = optax.ScaleByAdamState(
+        count=count,
+        mu=to_params(merged_m, has_log_std),
+        nu=to_params(merged_v, has_log_std),
+    )
+    n_updates = cfg.epochs * cfg.num_minibatches
+    ts = ts.replace(
+        params=to_params(merged_w, has_log_std),
+        opt_state=_replace_adam_state(ts.opt_state, new_adam),
+        step=ts.step + n_updates,
+    )
+    return ts, metrics
 
 
 def fused_rollout_collect(env, env_params, cfg, ts, bstate, key,

@@ -57,6 +57,8 @@ from gym_fishing_tpu.core.types import (
 from gym_fishing_tpu.kernels.rollout_kernel import (
     NUM_SCALARS,
     _growth,
+    _interpret_param,
+    _random_bits,
     _uniform_from_bits,
 )
 
@@ -106,6 +108,7 @@ def _policy_rollout_kernel(
     scheme: str,
     n_actions: int,
     obs_noise: bool,
+    hlo: bool = False,
 ):
     s = [scal_ref[0, i] for i in range(NUM_SCALARS)]
     K = s[1]
@@ -130,7 +133,8 @@ def _policy_rollout_kernel(
         met_ref[0, 2] = 0.0
         met_ref[0, 3] = 0.0
 
-    pltpu.prng_seed(seed + i)
+    if not hlo:
+        pltpu.prng_seed(seed + i)
     f32 = jnp.float32
     # State refs are (1, 1, E): the leading unit sublane dim makes the
     # (1, 1, E) block legal on the (grid, 1, E) array (Mosaic requires the
@@ -172,10 +176,8 @@ def _policy_rollout_kernel(
         return out[:A], out[A:A + 1]
 
     def draw_pair():
-        u1 = _uniform_from_bits(
-            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-        u2 = _uniform_from_bits(
-            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        u1 = _uniform_from_bits(_random_bits(shape, hlo), hlo)
+        u2 = _uniform_from_bits(_random_bits(shape, hlo), hlo)
         rad = jnp.sqrt(-2.0 * jnp.log(u1))
         theta = TWO_PI * u2
         return rad * jnp.cos(theta), rad * jnp.sin(theta)
@@ -203,8 +205,7 @@ def _policy_rollout_kernel(
             # (cumsum-as-matmul — MXU-friendly, no lax.cumsum in Mosaic);
             # a = #{cdf_k < u} reproduces jax.random.categorical's
             # distribution (Gumbel-max) exactly in law.
-            u_act = _uniform_from_bits(pltpu.bitcast(
-                pltpu.prng_random_bits(shape), jnp.uint32))
+            u_act = _uniform_from_bits(_random_bits(shape, hlo), hlo)
             _, z_proc = draw_pair()
             mx = jnp.max(pi_out, axis=0, keepdims=True)
             zl = pi_out - mx
@@ -419,6 +420,7 @@ def pallas_policy_rollout(
         scheme=scheme,
         n_actions=n_actions,
         obs_noise=obs_noise,
+        hlo=interpret == "hlo",
     )
     state_blk = lambda: pl.BlockSpec(
         (1, 1, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -450,7 +452,7 @@ def pallas_policy_rollout(
             pltpu.VMEM((num_steps, E), jnp.float32),
             pltpu.VMEM((num_steps, E), jnp.float32),
         ],
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=_interpret_param(interpret),
     )(
         scalars.reshape(1, NUM_SCALARS),
         stock.reshape(grid, 1, E),

@@ -69,14 +69,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gym_fishing_tpu.kernels.rollout_kernel import _interpret_param
+
 LANES = 128
 C_PAD = 8          # default padded feature rows (obs[1], act[1], 4 scalars)
 SUBLANES = 8       # feature rows must pad to a multiple of the f32 sublane
 NUM_SCALARS = 8
+ADAM_NUM_SCALARS = 16
 LOG_2PI = 1.8378770664093453
 
 # scalar vector layout (SMEM):
 # 0:clip_eps 1:vf_coef 2:inv_n (1/minibatch) 3:adv_mu 4:adv_inv_std 5:ent_coef
+# fused-Adam extension (slots 8+, ADAM_NUM_SCALARS vector):
+# 8:lr 9:bias_corr1 (1-b1^t) 10:bias_corr2 (1-b2^t)
 
 
 class PPOGrads(NamedTuple):
@@ -112,6 +117,27 @@ def _ppo_grad_kernel(
     head: str,                    # "gaussian" (continuous) | "categorical"
     compute: str,                 # "float32" (exact) | "bfloat16" (mixed)
 ):
+    _grad_tile(
+        scal_ref, data_ref,
+        w1c_ref, b1c_ref, w2c_ref, b2c_ref, whc_ref, bhc_ref, ls_ref,
+        dw1c_ref, db1c_ref, dw2c_ref, db2c_ref, dwhc_ref, dbhc_ref, dls_ref,
+        met_ref,
+        obs_dim=obs_dim, act_dim=act_dim, head=head, compute=compute,
+    )
+
+
+def _grad_tile(
+    scal_ref, data_ref,
+    w1c_ref, b1c_ref, w2c_ref, b2c_ref, whc_ref, bhc_ref, ls_ref,
+    dw1c_ref, db1c_ref, dw2c_ref, db2c_ref, dwhc_ref, dbhc_ref, dls_ref,
+    met_ref,
+    *,
+    obs_dim: int,
+    act_dim: int,
+    head: str,
+    compute: str,
+):
+    """Shared per-tile forward + hand-VJP backward (grid-accumulated)."""
     eps = scal_ref[0, 0]
     vf_coef = scal_ref[0, 1]
     inv_n = scal_ref[0, 2]
@@ -315,30 +341,9 @@ def fused_minibatch_grad(
         compute=compute,
     )
 
-    (w1p, b1p, w2p, b2p, wm, bm, ls, w1v, b1v, w2v, b2v, wv, bv) = weights
-    h = w1p.shape[1]
-    a = wm.shape[1]
-    f32 = jnp.float32
-    w1c = jnp.concatenate([w1p, w1v], axis=1)              # [D, 2H]
-    b1c = jnp.concatenate([b1p, b1v], axis=0)              # [2H, 1]
-    zhh = jnp.zeros((h, h), f32)
-    w2c = jnp.concatenate(
-        [
-            jnp.concatenate([w2p, zhh], axis=1),
-            jnp.concatenate([zhh, w2v], axis=1),
-        ],
-        axis=0,
-    )                                                      # [2H, 2H]
-    b2c = jnp.concatenate([b2p, b2v], axis=0)              # [2H, 1]
-    whc = jnp.concatenate(
-        [
-            jnp.concatenate([wm, jnp.zeros((h, 1), f32)], axis=1),
-            jnp.concatenate([jnp.zeros((h, a), f32), wv], axis=1),
-        ],
-        axis=0,
-    )                                                      # [2H, A+1]
-    bhc = jnp.concatenate([bm, bv], axis=0)                # [A+1, 1]
-    merged = (w1c, b1c, w2c, b2c, whc, bhc, ls)
+    merged = merge_weights(weights)
+    h = weights[0].shape[1]
+    a = weights[4].shape[1]
 
     whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in merged]
@@ -367,7 +372,7 @@ def fused_minibatch_grad(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=_interpret_param(interpret),
     )(tile_order.astype(jnp.int32), scalars.reshape(1, -1), data, *merged)
     dw1c, db1c, dw2c, db2c, dwhc, dbhc, dls = outs[:-1]
     grads = PPOGrads(
@@ -377,3 +382,261 @@ def fused_minibatch_grad(
         dWv=dwhc[h:, a:], dbv=dbhc[a:],
     )
     return grads, outs[-1][0]
+
+
+def merge_weights(weights: tuple) -> tuple:
+    """13 split-tower kernel-layout arrays -> 7 merged block-diagonal arrays.
+
+    Layouts: W1c [D, 2H] (concat), b1c [2H, 1], W2c [2H, 2H] block-diagonal,
+    b2c [2H, 1], Whc [2H, A+1] (policy-head columns + value column, zero
+    off-diagonal), bhc [A+1, 1], log_std [A, 1]. The zero off-diagonal
+    blocks correspond to NO parameter (see module docstring)."""
+    (w1p, b1p, w2p, b2p, wm, bm, ls, w1v, b1v, w2v, b2v, wv, bv) = weights
+    h = w1p.shape[1]
+    a = wm.shape[1]
+    f32 = jnp.float32
+    w1c = jnp.concatenate([w1p, w1v], axis=1)              # [D, 2H]
+    b1c = jnp.concatenate([b1p, b1v], axis=0)              # [2H, 1]
+    zhh = jnp.zeros((h, h), f32)
+    w2c = jnp.concatenate(
+        [
+            jnp.concatenate([w2p, zhh], axis=1),
+            jnp.concatenate([zhh, w2v], axis=1),
+        ],
+        axis=0,
+    )                                                      # [2H, 2H]
+    b2c = jnp.concatenate([b2p, b2v], axis=0)              # [2H, 1]
+    whc = jnp.concatenate(
+        [
+            jnp.concatenate([wm, jnp.zeros((h, 1), f32)], axis=1),
+            jnp.concatenate([jnp.zeros((h, a), f32), wv], axis=1),
+        ],
+        axis=0,
+    )                                                      # [2H, A+1]
+    bhc = jnp.concatenate([bm, bv], axis=0)                # [A+1, 1]
+    return (w1c, b1c, w2c, b2c, whc, bhc, ls)
+
+
+def unmerge_weights(merged: tuple, h: int, a: int) -> tuple:
+    """Inverse of merge_weights (drops the zero off-diagonal blocks)."""
+    w1c, b1c, w2c, b2c, whc, bhc, ls = merged
+    return (
+        w1c[:, :h], b1c[:h], w2c[:h, :h], b2c[:h],
+        whc[:h, :a], bhc[:a], ls,
+        w1c[:, h:], b1c[h:], w2c[h:, h:], b2c[h:],
+        whc[h:, a:], bhc[a:],
+    )
+
+
+def _block_diag_masks(h: int, a: int):
+    """f32 masks zeroing the cross-tower garbage blocks of dW2c / dWhc."""
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (2 * h, 2 * h), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (2 * h, 2 * h), 1)
+    m_w2c = (((r2 < h) & (c2 < h)) | ((r2 >= h) & (c2 >= h))).astype(
+        jnp.float32
+    )
+    rh = jax.lax.broadcasted_iota(jnp.int32, (2 * h, a + 1), 0)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (2 * h, a + 1), 1)
+    m_whc = (((rh < h) & (ch < a)) | ((rh >= h) & (ch == a))).astype(
+        jnp.float32
+    )
+    return m_w2c, m_whc
+
+
+def _ppo_grad_adam_kernel(
+    order_ref,                    # scalar-prefetch (G,) i32 tile visit order
+    scal_ref,                     # SMEM (1, ADAM_NUM_SCALARS) f32
+    data_ref,                     # VMEM (C_PAD, TILE) f32
+    # merged weights + merged Adam first/second moments (same 7 layouts):
+    w1c_ref, b1c_ref, w2c_ref, b2c_ref, whc_ref, bhc_ref, ls_ref,
+    m1_ref, m2_ref, m3_ref, m4_ref, m5_ref, m6_ref, m7_ref,
+    v1_ref, v2_ref, v3_ref, v4_ref, v5_ref, v6_ref, v7_ref,
+    # outputs: grad accumulators, metrics, then new weights / m / v
+    dw1c_ref, db1c_ref, dw2c_ref, db2c_ref, dwhc_ref, dbhc_ref, dls_ref,
+    met_ref,
+    nw1_ref, nw2_ref, nw3_ref, nw4_ref, nw5_ref, nw6_ref, nw7_ref,
+    nm1_ref, nm2_ref, nm3_ref, nm4_ref, nm5_ref, nm6_ref, nm7_ref,
+    nv1_ref, nv2_ref, nv3_ref, nv4_ref, nv5_ref, nv6_ref, nv7_ref,
+    *,
+    obs_dim: int,
+    act_dim: int,
+    head: str,
+    compute: str,
+    beta1: float,
+    beta2: float,
+    adam_eps: float,
+    max_grad_norm: float,
+):
+    """fused_minibatch_grad + the COMPLETE optimizer step in one launch.
+
+    Accumulates the minibatch gradient across the grid exactly like
+    _ppo_grad_kernel, then — in the LAST grid step, with the full gradient
+    sitting in VMEM — applies optax-chain(clip_by_global_norm, adam)
+    semantics in-kernel and writes updated weights and Adam moments. The
+    32 tiny optax applies + grads->pytree round-trips per iteration
+    (~1.4 ms/iter of glue, BENCH_NOTES round 3c) disappear; the XLA side
+    only re-slices the merged buffers once per train step (VERDICT r3 #3).
+    Validated against the optax path in tests/test_update_kernel.py.
+    """
+    _grad_tile(
+        scal_ref, data_ref,
+        w1c_ref, b1c_ref, w2c_ref, b2c_ref, whc_ref, bhc_ref, ls_ref,
+        dw1c_ref, db1c_ref, dw2c_ref, db2c_ref, dwhc_ref, dbhc_ref, dls_ref,
+        met_ref,
+        obs_dim=obs_dim, act_dim=act_dim, head=head, compute=compute,
+    )
+
+    j = pl.program_id(0)
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _optimizer_step():
+        ent_coef = scal_ref[0, 5]
+        lr = scal_ref[0, 8]
+        bc1 = scal_ref[0, 9]       # 1 - beta1^t
+        bc2 = scal_ref[0, 10]      # 1 - beta2^t
+
+        h2 = w2c_ref.shape[0]
+        h = h2 // 2
+        a = whc_ref.shape[1] - 1
+        m_w2c, m_whc = _block_diag_masks(h, a)
+
+        # masked gradients: the off-diagonal accumulator blocks are
+        # cross-tower garbage corresponding to no parameter — they must not
+        # contribute to the global norm nor perturb the (zero) weights.
+        g1 = dw1c_ref[:]
+        g2 = db1c_ref[:]
+        g3 = dw2c_ref[:] * m_w2c
+        g4 = db2c_ref[:]
+        g5 = dwhc_ref[:] * m_whc
+        g6 = dbhc_ref[:]
+        if head == "gaussian":
+            # the loss's entropy term -ent_coef*sum(log_std + c) is
+            # data-independent; its gradient joins here (the optax path
+            # adds it in grads_pytree BEFORE clipping)
+            g7 = dls_ref[:] - ent_coef
+            sq = (
+                jnp.sum(g1 * g1) + jnp.sum(g2 * g2) + jnp.sum(g3 * g3)
+                + jnp.sum(g4 * g4) + jnp.sum(g5 * g5) + jnp.sum(g6 * g6)
+                + jnp.sum(g7 * g7)
+            )
+        else:
+            # categorical head has no log_std parameter
+            g7 = jnp.zeros_like(dls_ref)
+            sq = (
+                jnp.sum(g1 * g1) + jnp.sum(g2 * g2) + jnp.sum(g3 * g3)
+                + jnp.sum(g4 * g4) + jnp.sum(g5 * g5) + jnp.sum(g6 * g6)
+            )
+        norm = jnp.sqrt(sq)
+        scale = jnp.where(
+            norm < max_grad_norm, 1.0, max_grad_norm / norm
+        )
+
+        def upd(w_ref, m_ref, v_ref, g, nw_ref, nm_ref, nv_ref):
+            g = g * scale
+            m_new = beta1 * m_ref[:] + (1.0 - beta1) * g
+            v_new = beta2 * v_ref[:] + (1.0 - beta2) * (g * g)
+            mhat = m_new / bc1
+            vhat = v_new / bc2
+            nw_ref[:] = w_ref[:] - lr * mhat / (jnp.sqrt(vhat) + adam_eps)
+            nm_ref[:] = m_new
+            nv_ref[:] = v_new
+
+        upd(w1c_ref, m1_ref, v1_ref, g1, nw1_ref, nm1_ref, nv1_ref)
+        upd(b1c_ref, m2_ref, v2_ref, g2, nw2_ref, nm2_ref, nv2_ref)
+        upd(w2c_ref, m3_ref, v3_ref, g3, nw3_ref, nm3_ref, nv3_ref)
+        upd(b2c_ref, m4_ref, v4_ref, g4, nw4_ref, nm4_ref, nv4_ref)
+        upd(whc_ref, m5_ref, v5_ref, g5, nw5_ref, nm5_ref, nv5_ref)
+        upd(bhc_ref, m6_ref, v6_ref, g6, nw6_ref, nm6_ref, nv6_ref)
+        if head == "gaussian":
+            upd(ls_ref, m7_ref, v7_ref, g7, nw7_ref, nm7_ref, nv7_ref)
+        else:
+            nw7_ref[:] = ls_ref[:]
+            nm7_ref[:] = m7_ref[:]
+            nv7_ref[:] = v7_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "obs_dim", "act_dim", "tile", "head", "compute", "interpret",
+        "beta1", "beta2", "adam_eps", "max_grad_norm",
+    ),
+)
+def fused_minibatch_grad_adam(
+    data: jax.Array,        # [C_PAD, N] f32 feature-major packed samples
+    tile_order: jax.Array,  # (G,) i32 — tile indices this pass visits
+    merged_w: tuple,        # 7 merged weight arrays (merge_weights)
+    merged_m: tuple,        # 7 merged Adam first-moment arrays
+    merged_v: tuple,        # 7 merged Adam second-moment arrays
+    scalars: jax.Array,     # (ADAM_NUM_SCALARS,) f32 — see layout at top
+    obs_dim: int,
+    act_dim: int,
+    tile: int = 2048,
+    head: str = "gaussian",
+    compute: str = "float32",
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    adam_eps: float = 1e-5,
+    max_grad_norm: float = 0.5,
+    interpret: bool = False,
+):
+    """One launch: minibatch gradient + clip-by-global-norm + Adam.
+
+    Returns (new merged_w, new merged_m, new merged_v, metric sums). The
+    caller carries the merged triples across the epochs x minibatches scan
+    (agents/ppo_fused.fused_epoch_scan_adam) and un-merges once at the end;
+    optax never runs inside the update phase."""
+    cpad, n = data.shape
+    na = act_dim if head == "gaussian" else 1
+    assert cpad % SUBLANES == 0 and n % tile == 0, (cpad, n, tile)
+    assert obs_dim + na + 4 <= cpad
+    grid = tile_order.shape[0]
+    kernel = functools.partial(
+        _ppo_grad_adam_kernel, obs_dim=obs_dim, act_dim=act_dim, head=head,
+        compute=compute, beta1=beta1, beta2=beta2, adam_eps=adam_eps,
+        max_grad_norm=max_grad_norm,
+    )
+
+    whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    fixed = lambda w: pl.BlockSpec(
+        w.shape, lambda j, order: tuple(0 for _ in w.shape),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in merged_w]
+    out_specs = [fixed(w) for w in merged_w]
+    out_shape.append(jax.ShapeDtypeStruct((1, 4), jnp.float32))
+    out_specs.append(
+        pl.BlockSpec((1, 4), lambda j, order: (0, 0), memory_space=pltpu.SMEM)
+    )
+    for group in (merged_w, merged_m, merged_v):   # nw / nm / nv
+        out_shape.extend(
+            jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in group
+        )
+        out_specs.extend(fixed(w) for w in group)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (cpad, tile),
+                lambda j, order: (0, order[j]),
+                memory_space=pltpu.VMEM,
+            ),
+        ] + [whole() for _ in range(21)],
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret_param(interpret),
+    )(
+        tile_order.astype(jnp.int32), scalars.reshape(1, -1), data,
+        *merged_w, *merged_m, *merged_v,
+    )
+    met = outs[7][0]
+    new_w = tuple(outs[8:15])
+    new_m = tuple(outs[15:22])
+    new_v = tuple(outs[22:29])
+    return new_w, new_m, new_v, met

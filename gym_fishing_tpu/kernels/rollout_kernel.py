@@ -76,16 +76,49 @@ class KernelRollout(NamedTuple):
     harvest: jax.Array     # f32 carried harvest (relative-scheme state)
 
 
-def _uniform_from_bits(bits):
+def _uniform_from_bits(bits, hlo: bool = False):
     """uint32 -> f32 uniform in (0, 1].
 
     Mosaic has no uint32->f32 cast, so build a float in [1, 2) directly:
     23 random mantissa bits OR the exponent of 1.0, bitcast, subtract from 2
-    (giving (0, 1], safe for log).
+    (giving (0, 1], safe for log). hlo=True swaps the Mosaic-only bitcast
+    for lax.bitcast_convert_type (the generic-interpreter tier — see
+    _random_bits).
     """
     mant = jax.lax.shift_right_logical(bits, jnp.uint32(9))
     fbits = jax.lax.bitwise_or(mant, jnp.uint32(0x3F800000))
+    if hlo:
+        return 2.0 - jax.lax.bitcast_convert_type(fbits, jnp.float32)
     return 2.0 - pltpu.bitcast(fbits, jnp.float32)
+
+
+def _random_bits(shape, hlo: bool = False):
+    """Raw uint32 PRNG bits, or the generic-interpreter stand-in.
+
+    hlo=True returns zero bits WITHOUT touching the Mosaic PRNG primitives —
+    exactly what the Mosaic interpreter's PRNG yields on CPU — so kernels
+    can run under pallas's generic HLO interpreter (interpret="hlo"). That
+    tier exists because the Mosaic interpreter's callback machinery
+    deadlocks under multi-process (gloo) execution; the generic interpreter
+    does not, which is what lets tests/test_multihost.py drive the fused
+    shard_map path across real OS-process boundaries (VERDICT r3 #4).
+    """
+    if hlo:
+        return jnp.zeros(shape, jnp.uint32)
+    return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+
+def _interpret_param(interpret):
+    """Map the public tri-state interpret flag to pallas_call's parameter.
+
+    False -> compiled; True -> Mosaic TPU interpreter (supports the on-chip
+    PRNG primitives on CPU); "hlo" -> pallas's generic interpreter
+    (multi-process-safe; kernels must be built with hlo=True so no Mosaic-
+    only primitive is traced).
+    """
+    if interpret == "hlo":
+        return True
+    return pltpu.InterpretParams() if interpret else False
 
 
 def _growth(growth: str, s, x, r):
@@ -161,6 +194,7 @@ def _rollout_kernel(
     policy: str,
     scheme: str,
     obs_noise: bool,
+    ablate_no_pairing: bool = False,
 ):
     s = [scal_ref[0, i] for i in range(NUM_SCALARS)]
     sigma, price = s[2], s[4]
@@ -244,6 +278,15 @@ def _rollout_kernel(
             return step(carry, z, eta)
 
         iters = num_steps
+    elif ablate_no_pairing:
+        # benchmark-only ablation (scripts/remeasure_r4.py): one fresh pair
+        # per step, second normal discarded — isolates the sin+cos pairing
+        # win claimed in DESIGN.md's transcendental-bound analysis.
+        def body(_, carry):
+            z, _unused = draw_pair()
+            return step(carry, z, 0.0)
+
+        iters = num_steps
     else:
         # One Box-Muller pair (sin+cos) feeds TWO env steps — halves the
         # transcendental count per step, the VPU bottleneck of this kernel.
@@ -275,7 +318,7 @@ def _rollout_kernel(
     jax.jit,
     static_argnames=(
         "num_steps", "rows_per_block", "growth", "noise_form", "policy",
-        "scheme", "obs_noise", "interpret",
+        "scheme", "obs_noise", "interpret", "ablate_no_pairing",
     ),
 )
 def pallas_rollout(
@@ -292,6 +335,7 @@ def pallas_rollout(
     ep_ret: Optional[jax.Array] = None,  # (B,) f32 in-flight episode return
     harvest: Optional[jax.Array] = None,  # (B,) f32 carried harvest (relative)
     interpret: bool = False,
+    ablate_no_pairing: bool = False,
 ) -> KernelRollout:
     """Fused T-step rollout; see KernelRollout for the per-env outputs.
 
@@ -329,6 +373,7 @@ def pallas_rollout(
         policy=policy,
         scheme=scheme,
         obs_noise=obs_noise,
+        ablate_no_pairing=ablate_no_pairing,
     )
     blk = lambda: pl.BlockSpec(
         (rows_per_block, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM

@@ -47,6 +47,7 @@ def make_sharded_fused_train_step(
     cfg: PPOConfig,
     mesh: Mesh,
     axis: str = "envs",
+    hlo_interpret: bool = False,
 ):
     """Build a jittable (ts, bstate, key) -> (ts, bstate, metrics) step.
 
@@ -70,7 +71,14 @@ def make_sharded_fused_train_step(
     # interpret follows the MESH's platform, not the process default backend:
     # with a TPU attached but a CPU mesh (the dryrun_multichip path), the
     # default backend says "tpu" while the kernels execute on CPU devices.
+    # hlo_interpret=True selects pallas's generic interpreter instead of the
+    # Mosaic one on CPU meshes: required for MULTI-PROCESS execution, where
+    # the Mosaic interpreter's callback machinery deadlocks (the kernels'
+    # PRNG then yields zero bits, same as the Mosaic interpreter on CPU —
+    # see kernels/rollout_kernel._random_bits and tests/test_multihost.py).
     interpret = mesh.devices.flat[0].platform != "tpu"
+    if interpret and hlo_interpret:
+        interpret = "hlo"
 
     @partial(
         shard_map,

@@ -13,6 +13,15 @@ V* = 7.68 at sigma=0.05).
 The Mosaic interpreter's PRNG is zero on CPU (training would be degenerate),
 so this MUST run on a real TPU; on CPU it prints SKIP and exits 0 (exit 2
 with --require-tpu). Prints one JSON line and PASS/FAIL; exit 1 on FAIL.
+
+--agreement (VERDICT r3 #8) additionally trains the pure-XLA path with the
+same config/seed and asserts the two episode-return curves agree at EVERY
+checkpoint (10-iter window means every 30 iters, |fused - XLA| <= tol),
+not just at the end — so an RNG or shuffle regression that merely SLOWS
+learning (same final plateau, different path) is caught. At B=16384 the
+metric is an average over 16k envs, so despite fully different RNG streams
+the curves match to ~0.01 when healthy (BENCH_NOTES round-3 table); the
+default tol of 0.25 is ~25x that, trips only on a real learning change.
 """
 
 from __future__ import annotations
@@ -38,6 +47,10 @@ def main() -> int:
     ap.add_argument("--iterations", type=int, default=300)
     ap.add_argument("--threshold", type=float, default=7.0,
                     help="min final episode return (escapement=7.72)")
+    ap.add_argument("--agreement", action="store_true",
+                    help="also train the pure-XLA path and assert "
+                         "per-checkpoint agreement of the learning curves")
+    ap.add_argument("--agreement-tol", type=float, default=0.25)
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
@@ -50,25 +63,38 @@ def main() -> int:
     import gym_fishing_tpu as gft
     from gym_fishing_tpu.agents import ppo
 
-    env, params = gft.make("fishing-v1", sigma=0.05)
-    cfg = ppo.PPOConfig(
-        num_envs=args.num_envs, num_steps=args.num_steps,
-        fused_update=True, fused_rollout=True,
-    )
-    t0 = time.perf_counter()
-    ts, history = ppo.train(
-        env, cfg, seed=0, iterations=args.iterations, env_params=params
-    )
-    wall = time.perf_counter() - t0
     import numpy as np
 
-    rets = [h["episode_return"] for h in history
-            if np.isfinite(h["episode_return"])]
-    final = float(np.mean(rets[-10:]))
-    first = float(rets[0]) if rets else float("nan")
+    env, params = gft.make("fishing-v1", sigma=0.05)
+
+    def run_path(fused_update: bool, fused_rollout: bool):
+        cfg = ppo.PPOConfig(
+            num_envs=args.num_envs, num_steps=args.num_steps,
+            fused_update=fused_update, fused_rollout=fused_rollout,
+        )
+        t0 = time.perf_counter()
+        ts, history = ppo.train(
+            env, cfg, seed=0, iterations=args.iterations, env_params=params
+        )
+        wall = time.perf_counter() - t0
+        rets = np.asarray([h["episode_return"] for h in history], np.float64)
+        rets = np.where(np.isfinite(rets), rets, np.nan)
+        return rets, wall
+
+    def checkpoints(rets, every=30, window=10):
+        """Mean episode return over [c-window, c) for c = every, 2*every..."""
+        out = []
+        for c in range(every, rets.size + 1, every):
+            out.append(float(np.nanmean(rets[c - window:c])))
+        return out
+
+    rets, wall = run_path(fused_update=True, fused_rollout=True)
+    valid = rets[np.isfinite(rets)]
+    final = float(np.mean(valid[-10:]))
+    first = float(valid[0]) if valid.size else float("nan")
     steps = args.iterations * args.num_envs * args.num_steps
     ok = final >= args.threshold
-    print(json.dumps({
+    line = {
         "metric": "fused-full PPO episode return (fishing-v1, sigma=0.05)",
         "first_iter": round(first, 3),
         "final": round(final, 3),
@@ -78,8 +104,27 @@ def main() -> int:
         "iterations": args.iterations,
         "env_steps": steps,
         "wall_s_incl_compile": round(wall, 1),
-        "pass": ok,
-    }))
+    }
+
+    if args.agreement:
+        xla_rets, xla_wall = run_path(fused_update=False, fused_rollout=False)
+        cp_f = checkpoints(rets)
+        cp_x = checkpoints(xla_rets)
+        gaps = [abs(a - b) for a, b in zip(cp_f, cp_x)]
+        agree = all(g <= args.agreement_tol for g in gaps)
+        ok = ok and agree
+        line["agreement"] = {
+            "checkpoint_every": 30,
+            "fused": [round(v, 3) for v in cp_f],
+            "xla": [round(v, 3) for v in cp_x],
+            "max_gap": round(max(gaps), 4) if gaps else None,
+            "tol": args.agreement_tol,
+            "xla_wall_s": round(xla_wall, 1),
+            "ok": agree,
+        }
+
+    line["pass"] = ok
+    print(json.dumps(line))
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

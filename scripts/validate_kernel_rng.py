@@ -20,7 +20,13 @@ Checks, at matched (B, T, sigma) with the same escapement policy, no resets:
 5. categorical sampling (policy-rollout kernel, discrete env): at step 0 all
    envs share the same observation, so the kernel's inverse-CDF sampler must
    reproduce the policy's softmax probabilities — empirical class
-   frequencies within 6 binomial SEs.
+   frequencies within 6 binomial SEs;
+6-9. Gaussian policy head (continuous env): step-0 marginals, action-stream
+   block independence, and whole-trajectory KS (final stock + in-flight
+   return) vs the XLA collect_rollout;
+10-12. categorical/relative path (fishing-v0): action-stream block
+   independence and the same whole-trajectory KS pair — catches
+   action-draw/process-noise stream reuse the step-0 marginals can't see.
 
 Prints one JSON line (driver-recordable) and PASS/FAIL; exit 1 on FAIL.
 """
@@ -239,6 +245,51 @@ def categorical_sampling(B, checks, seed=777):
     return ok
 
 
+def categorical_trajectory(B, T, checks, seed=555):
+    """Whole-trajectory validation of the DISCRETE (fishing-v0, relative
+    decode) fused-rollout path — the categorical analog of checks 8-9
+    (VERDICT r3 weak #7). A stream-reuse bug between the kernel's
+    action-uniform draw and the process-noise Box-Muller pair would leave
+    step-0 marginals (check 5) intact but correlate actions with noise,
+    shifting the trajectory distributions vs the XLA engine (which uses
+    independent threefry streams). Three layers, matched (B, T, sigma):
+
+    - step-0 action-stream block independence across lanes/blocks;
+    - KS on final stock vs ppo.collect_rollout;
+    - KS on the in-flight episode return vs ppo.collect_rollout.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import gym_fishing_tpu as gft
+    from gym_fishing_tpu.agents import ppo, ppo_fused
+    from gym_fishing_tpu.batch import batched_reset
+
+    env, params = gft.make("fishing-v0", dtype=jnp.float32, sigma=0.05)
+    cfg = ppo.PPOConfig(num_envs=B, num_steps=T, hidden=64)
+    ts = ppo.make_train_state(env, cfg, jax.random.key(7))
+    bstate = batched_reset(env, params, B)
+    roll, kb = ppo_fused.fused_rollout_collect(
+        env, params, cfg, ts, bstate, jax.random.key(seed), interpret=False
+    )
+
+    acts0 = np.asarray(roll.packed_t[1, :B], np.float64)
+    ok = block_independence(
+        acts0, B, checks, name="categorical_action_block_independence"
+    )
+
+    xb, _, _, _ = ppo.collect_rollout(
+        env, params, cfg, ts, batched_reset(env, params, B),
+        jax.random.key(seed + 1),
+    )
+    ok &= compare("categorical_final_stock", kb.env.stock, xb.env.stock, B,
+                  checks)
+    ok &= compare("categorical_inflight_return", kb.episode_return,
+                  xb.episode_return, B, checks)
+    return ok
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--require-tpu", action="store_true")
@@ -282,6 +333,10 @@ def main() -> int:
     # 6: Gaussian head of the policy-rollout kernel (marginals, stream
     # independence, whole-trajectory KS vs the XLA collect_rollout)
     ok &= gaussian_policy_sampling(B, T, checks)
+
+    # 10-12: discrete/relative path whole-trajectory checks (the categorical
+    # analog of 8-9; catches action-draw/process-noise stream reuse)
+    ok &= categorical_trajectory(B, T, checks)
 
     print(json.dumps({
         "kernel_rng_validation": "PASS" if ok else "FAIL",

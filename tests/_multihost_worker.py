@@ -83,6 +83,35 @@ def main() -> None:
         "mean_reward": float(metrics["mean_reward"]),
         "loss": float(metrics["loss"]),
     }
+
+    # Fused shard_map composition across the same real process boundary
+    # (VERDICT r3 #4): the explicit psum/pmean path of shard/fused_ppo.py
+    # (Mosaic-interpreted on the CPU mesh) must agree bitwise across
+    # processes and match a single-process run — the same proof the
+    # XLA/GSPMD path got above. Gloo carries the psums across processes.
+    from gym_fishing_tpu.shard.fused_ppo import make_sharded_fused_train_step
+
+    fcfg = PPOConfig(
+        num_envs=512, num_steps=8, epochs=2, num_minibatches=2, hidden=16,
+        fused_update=True, fused_rollout=True,
+    )
+    fts = replicate(make_train_state(env, fcfg, key), mesh)
+    flocal = fcfg.num_envs // jax.process_count()
+    fb = host_local_to_global(batched_reset(env, params, flocal), mesh)
+    # hlo_interpret: the Mosaic interpreter deadlocks across OS processes
+    # (its callback machinery never completes under multi-controller
+    # execution); the generic-interpreter tier runs the same kernels with
+    # the same zero-bit PRNG semantics and is multi-process-safe.
+    fstep = jax.jit(make_sharded_fused_train_step(
+        env, params, fcfg, mesh, hlo_interpret=True
+    ))
+    for it in range(2):
+        fts, fb, fmetrics = fstep(fts, fb, jax.random.fold_in(key, 10 + it))
+    out["fused_params_checksum"] = float(state_checksum(fts.params))
+    out["fused_state_checksum"] = float(state_checksum(fb.env))
+    out["fused_loss"] = float(fmetrics["loss"])
+    out["fused_pg_loss"] = float(fmetrics["pg_loss"])
+
     print("RESULT " + json.dumps(out), flush=True)
 
 

@@ -67,14 +67,20 @@ def test_two_process_spmd_matches_single_process():
     assert [r["num_processes"] for r in two] == [2, 2]
     assert all(r["num_devices"] == 4 for r in two)
 
-    # both processes of the SPMD program must agree bitwise
-    for k in ("params_checksum", "state_checksum", "mean_reward", "loss"):
+    # both processes of the SPMD program must agree bitwise — for the
+    # XLA/GSPMD train step AND the fused shard_map composition (VERDICT r3
+    # #4: the fused path's first proof across a real process boundary)
+    for k in ("params_checksum", "state_checksum", "mean_reward", "loss",
+              "fused_params_checksum", "fused_state_checksum", "fused_loss",
+              "fused_pg_loss"):
         assert two[0][k] == two[1][k], f"{k} diverged across processes"
 
     # and the result must match a single-process run on the same 4-device mesh
     one = _run_workers(num_processes=1, local_devices=4)[0]
     assert one["num_devices"] == 4
-    for k in ("params_checksum", "state_checksum", "mean_reward", "loss"):
+    for k in ("params_checksum", "state_checksum", "mean_reward", "loss",
+              "fused_params_checksum", "fused_state_checksum", "fused_loss",
+              "fused_pg_loss"):
         np.testing.assert_allclose(
             two[0][k], one[k], rtol=1e-5, atol=1e-6,
             err_msg=f"{k}: 2-process vs single-process mismatch",

@@ -168,3 +168,36 @@ def test_update_kernel_lowers_for_tpu(head, env_id):
         )
 
     _export_tpu(run, data, order, scalars, *weights)
+
+
+@pytest.mark.parametrize("head,env_id", [
+    ("gaussian", "fishing-v1"), ("categorical", "fishing-v0"),
+])
+def test_adam_update_kernel_lowers_for_tpu(head, env_id):
+    from gym_fishing_tpu.kernels.ppo_update_kernel import (
+        ADAM_NUM_SCALARS,
+        fused_minibatch_grad_adam,
+        merge_weights,
+    )
+
+    _, weights = _weights(env_id)
+    merged = merge_weights(weights)
+    zeros = tuple(jnp.zeros_like(w) for w in merged)
+    n = 4096
+    tile = 512
+    data = jnp.zeros((8, n), jnp.float32)
+    order = jnp.arange(n // tile, dtype=jnp.int32)
+    scalars = (
+        jnp.zeros((ADAM_NUM_SCALARS,), jnp.float32)
+        .at[2].set(1.0 / n).at[4].set(1.0)
+        .at[8].set(3e-4).at[9].set(0.1).at[10].set(0.001)
+    )
+    act_dim = 1 if head == "gaussian" else 3
+
+    def run(data, order, scalars, w, m, v):
+        return fused_minibatch_grad_adam(
+            data, order, w, m, v, scalars, obs_dim=1, act_dim=act_dim,
+            tile=tile, head=head,
+        )
+
+    _export_tpu(run, data, order, scalars, merged, zeros, zeros)
