@@ -354,6 +354,7 @@ def fused_rollout_collect(env, env_params, cfg, ts, bstate, key,
         n_actions=env.config.n_actions,
         obs_noise=obs_noise,
         interpret=interpret,
+        compute=cfg.compute_dtype,
     )
     dtype = env_params.dtype
     new_bstate = BatchState(

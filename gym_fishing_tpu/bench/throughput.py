@@ -174,6 +174,7 @@ def measure_ppo_train(
     warmup: int = 3,
     sigma: float = 0.05,
     fused: str = "full",   # "full" | "update" | "off"
+    fused_adam: bool = False,
 ) -> dict:
     """Time the full PPO train step (rollout + GAE + 4x8 minibatch SGD).
 
@@ -193,6 +194,7 @@ def measure_ppo_train(
         num_steps=num_steps,
         fused_update=fused in ("full", "update"),
         fused_rollout=fused == "full",
+        fused_adam=fused_adam,
     )
     key = jax.random.key(0)
     ts = ppo.make_train_state(env, cfg, key)
@@ -217,7 +219,7 @@ def measure_ppo_train(
     total = num_envs * num_steps * iters
     steps_per_s = total / dt
     return {
-        "mode": f"ppo-{fused}",
+        "mode": f"ppo-{fused}" + ("+adam" if fused_adam else ""),
         "num_envs": num_envs,
         "num_steps": num_steps,
         "epochs": cfg.epochs,

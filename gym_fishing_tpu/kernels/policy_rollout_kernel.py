@@ -85,7 +85,7 @@ class PolicyRollout(NamedTuple):
 
 def _policy_rollout_kernel(
     scal_ref,                    # SMEM (1, NUM_SCALARS) f32
-    x_ref, t_ref, hv_ref, ret_ref, len_ref,  # VMEM (1, 1, E): f32,i32,f32,f32,i32
+    x_ref, t_ref, hv_ref, ret_ref, len_ref,  # VMEM (1, C, E): f32,i32,f32,f32,i32
     # merged actor-critic (see _merge_towers): both towers ride ONE
     # block-diagonal matmul chain — [2H,1] rank-1 in, [2H,2H] hidden,
     # [2H,A+1] heads. Halves the sequential-MXU-op count per step, which is
@@ -94,11 +94,11 @@ def _policy_rollout_kernel(
     # rollout; see BENCH_NOTES).
     w1c_ref, b1c_ref, w2c_ref, b2c_ref, whc_ref, bhc_ref, ls_ref,
     # outputs
-    packed_ref,                  # VMEM (8, T, E) f32
-    x_out, t_out, hv_out, ret_out, len_out,   # VMEM (1, 1, E)
+    packed_ref,                  # VMEM (8, T, C*E) f32
+    x_out, t_out, hv_out, ret_out, len_out,   # VMEM (1, C, E)
     met_ref,                     # SMEM (1, 4) f32
     # scratch
-    rew_scr, done_scr,           # VMEM (T, E) f32
+    rew_scr, done_scr,           # VMEM (T, C*E) f32
     *,
     num_steps: int,
     growth: str,
@@ -109,6 +109,8 @@ def _policy_rollout_kernel(
     n_actions: int,
     obs_noise: bool,
     hlo: bool = False,
+    compute: str = "float32",
+    cols: int = 1,
 ):
     s = [scal_ref[0, i] for i in range(NUM_SCALARS)]
     K = s[1]
@@ -154,6 +156,17 @@ def _policy_rollout_kernel(
         # Mosaic's tpu.iota is integer-only; cast after
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (A, E), 0).astype(f32)
 
+    # Mixed precision (compute="bfloat16", opt-in via PPOConfig.compute_
+    # dtype): the two [2H]-contraction matmuls take bf16 INPUTS with f32
+    # MXU accumulation. This phase is ~82% of the f32 matmul roofline at
+    # E=1024 (137 GFLOP of policy matmuls per 16384x128 rollout over the
+    # measured 3.35 ms — NOT latency-bound; BENCH_NOTES "Round 4"), so
+    # bf16's native MXU rate is the one remaining lever. Weights are cast
+    # once; heads/elementwise/sampling stay f32.
+    mt = jnp.bfloat16 if compute == "bfloat16" else f32
+    w2c_c = w2c_ref[:].astype(mt)
+    whc_c = whc_ref[:].astype(mt)
+
     def forward(obs):
         """Merged actor-critic forward: (pi_out [A, E], value [1, E]).
 
@@ -165,12 +178,12 @@ def _policy_rollout_kernel(
         p1 = w1c_ref[:] * obs + b1c_ref[:]               # [2H, E]
         h1 = jnp.tanh(p1)
         p2 = jax.lax.dot_general(
-            w2c_ref[:], h1, (((0,), (0,)), ((), ())),
+            w2c_c, h1.astype(mt), (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         ) + b2c_ref[:]
         h2 = jnp.tanh(p2)
         out = jax.lax.dot_general(
-            whc_ref[:], h2, (((0,), (0,)), ((), ())),
+            whc_c, h2.astype(mt), (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         ) + bhc_ref[:]                                   # [A+1, E]
         return out[:A], out[A:A + 1]
@@ -182,10 +195,10 @@ def _policy_rollout_kernel(
         theta = TWO_PI * u2
         return rad * jnp.cos(theta), rad * jnp.sin(theta)
 
-    def store(row, t, val):
-        packed_ref[row, pl.ds(t, 1), :] = val
+    def store(row, t, c, val):
+        packed_ref[row, pl.ds(t, 1), c * E:(c + 1) * E] = val
 
-    def body(t, carry):
+    def col_step(t, c, carry):
         # obs rides the carry: it is the (possibly noise-measured) observation
         # of x produced by the previous step — core/env.step_xi step 8 — so
         # the policy sees sigma_m measurement noise exactly like the engine's
@@ -253,12 +266,12 @@ def _policy_rollout_kernel(
         ep_ret_now = cur_ret + rew
         ep_len_now = cur_len + 1
 
-        store(0, t, obs)
-        store(1, t, a)
-        store(2, t, logp)
-        store(3, t, value)
-        rew_scr[pl.ds(t, 1), :] = rew
-        done_scr[pl.ds(t, 1), :] = done_f
+        store(0, t, c, obs)
+        store(1, t, c, a)
+        store(2, t, c, logp)
+        store(3, t, c, value)
+        rew_scr[pl.ds(t, 1), c * E:(c + 1) * E] = rew
+        done_scr[pl.ds(t, 1), c * E:(c + 1) * E] = done_f
 
         nd = nd + jnp.sum(done_f)
         sr = sr + jnp.sum(ep_ret_now * done_f)
@@ -284,53 +297,78 @@ def _policy_rollout_kernel(
         obs_next = jnp.clip(meas / K - 1.0, -1.0, 1.0)
         return xn, tn, cur_ret, cur_len, hv_carry, obs_next, nd, sr, sl, srw
 
+    def body(t, carries):
+        # cols > 1 interleaves INDEPENDENT env columns inside one program:
+        # each column's step t+1 depends on its own step t, but columns are
+        # independent, so their matmul/VPU chains overlap in the hardware
+        # pipeline — the ILP lever for a latency-bound body (the round-4
+        # ablations showed bf16 matmuls AND cheap-tanh both neutral at
+        # E=1024: the body is dependent-op-latency-bound, not
+        # throughput-bound; BENCH_NOTES "Round 4").
+        return tuple(col_step(t, c, carries[c]) for c in range(cols))
+
     zero_f = jnp.zeros(shape, f32)
     # initial obs is noise-free (collect_rollout's obs0 = get_obs — the one
     # observation per train_step iteration that can't carry noise, since obs
     # is not part of BatchState)
-    obs0 = jnp.clip(x_ref[0] / K - 1.0, -1.0, 1.0)
-    x, tt, cur_ret, cur_len, hv_last, obs_T, nd, sr, sl, srw = (
-        jax.lax.fori_loop(
-            0,
-            num_steps,
-            body,
-            (x_ref[0], t_ref[0], ret_ref[0], len_ref[0], hv_ref[0], obs0,
-             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-             jnp.float32(0.0)),
+    init = tuple(
+        (
+            x_ref[0, c:c + 1, :], t_ref[0, c:c + 1, :],
+            ret_ref[0, c:c + 1, :], len_ref[0, c:c + 1, :],
+            hv_ref[0, c:c + 1, :],
+            jnp.clip(x_ref[0, c:c + 1, :] / K - 1.0, -1.0, 1.0),
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+            jnp.float32(0.0),
         )
+        for c in range(cols)
     )
+    finals = jax.lax.fori_loop(0, num_steps, body, init)
 
     # GAE reverse pass over the VMEM-resident trajectory, bootstrapped from
     # the value of the final (post-reset, noise-measured) observation —
     # agents/ppo.compute_gae on collect_rollout's obs_last
-    _, value_T = forward(obs_T)
+    value_Ts = [forward(fin[5])[1] for fin in finals]
 
     def rev_body(k, carry):
-        gae, next_value = carry
         t = num_steps - 1 - k
-        rew = rew_scr[pl.ds(t, 1), :]
-        nonterm = 1.0 - done_scr[pl.ds(t, 1), :]
-        value_t = packed_ref[3, pl.ds(t, 1), :]
-        delta = rew + gamma * next_value * nonterm - value_t
-        gae = delta + gamma * gae_lambda * nonterm * gae
-        store(4, t, gae)
-        store(5, t, gae + value_t)
-        return gae, value_t
+        out = []
+        for c in range(cols):
+            gae, next_value = carry[c]
+            lo, hi = c * E, (c + 1) * E
+            rew = rew_scr[pl.ds(t, 1), lo:hi]
+            nonterm = 1.0 - done_scr[pl.ds(t, 1), lo:hi]
+            value_t = packed_ref[3, pl.ds(t, 1), lo:hi]
+            delta = rew + gamma * next_value * nonterm - value_t
+            gae = delta + gamma * gae_lambda * nonterm * gae
+            store(4, t, c, gae)
+            store(5, t, c, gae + value_t)
+            out.append((gae, value_t))
+        return tuple(out)
 
-    jax.lax.fori_loop(0, num_steps, rev_body, (zero_f, value_T))
+    jax.lax.fori_loop(
+        0, num_steps, rev_body,
+        tuple((zero_f, v) for v in value_Ts),
+    )
 
-    packed_ref[6, :, :] = jnp.zeros((num_steps, E), f32)
-    packed_ref[7, :, :] = jnp.zeros((num_steps, E), f32)
+    packed_ref[6, :, :] = jnp.zeros((num_steps, cols * E), f32)
+    packed_ref[7, :, :] = jnp.zeros((num_steps, cols * E), f32)
 
-    x_out[0] = x
-    t_out[0] = tt
-    hv_out[0] = hv_last
-    ret_out[0] = cur_ret
-    len_out[0] = cur_len
-    met_ref[0, 0] += nd
-    met_ref[0, 1] += sr
-    met_ref[0, 2] += sl
-    met_ref[0, 3] += srw
+    nd_t = sr_t = sl_t = srw_t = jnp.float32(0.0)
+    for c, fin in enumerate(finals):
+        x, tt, cur_ret, cur_len, hv_last, _obs, nd, sr, sl, srw = fin
+        x_out[0, c:c + 1, :] = x
+        t_out[0, c:c + 1, :] = tt
+        hv_out[0, c:c + 1, :] = hv_last
+        ret_out[0, c:c + 1, :] = cur_ret
+        len_out[0, c:c + 1, :] = cur_len
+        nd_t += nd
+        sr_t += sr
+        sl_t += sl
+        srw_t += srw
+    met_ref[0, 0] += nd_t
+    met_ref[0, 1] += sr_t
+    met_ref[0, 2] += sl_t
+    met_ref[0, 3] += srw_t
 
 
 def _merge_towers(weights: tuple) -> tuple:
@@ -368,6 +406,7 @@ def _merge_towers(weights: tuple) -> tuple:
     static_argnames=(
         "num_steps", "envs_per_block", "growth", "noise_form", "gamma",
         "gae_lambda", "scheme", "n_actions", "obs_noise", "interpret",
+        "compute", "blocks_per_program",
     ),
 )
 def pallas_policy_rollout(
@@ -389,6 +428,8 @@ def pallas_policy_rollout(
     n_actions: int = 3,
     obs_noise: bool = False,
     interpret: bool = False,
+    compute: str = "float32",
+    blocks_per_program: int = 1,
 ) -> PolicyRollout:
     """Fused T-step PPO rollout + GAE; see PolicyRollout for outputs.
 
@@ -406,8 +447,12 @@ def pallas_policy_rollout(
     assert scheme in ("continuous", "proportional", "relative")
     B = stock.shape[0]
     E = envs_per_block
-    assert B % E == 0, f"num_envs {B} must be a multiple of {E}"
-    grid = B // E
+    C = blocks_per_program
+    assert B % (C * E) == 0, (
+        f"num_envs {B} must be a multiple of blocks_per_program*envs_per_"
+        f"block = {C * E}"
+    )
+    grid = B // (C * E)
     merged = _merge_towers(weights)
 
     kernel = functools.partial(
@@ -421,13 +466,15 @@ def pallas_policy_rollout(
         n_actions=n_actions,
         obs_noise=obs_noise,
         hlo=interpret == "hlo",
+        compute=compute,
+        cols=C,
     )
     state_blk = lambda: pl.BlockSpec(
-        (1, 1, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, C, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    f32v = lambda: jax.ShapeDtypeStruct((grid, 1, E), jnp.float32)
-    i32v = lambda: jax.ShapeDtypeStruct((grid, 1, E), jnp.int32)
+    f32v = lambda: jax.ShapeDtypeStruct((grid, C, E), jnp.float32)
+    i32v = lambda: jax.ShapeDtypeStruct((grid, C, E), jnp.int32)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -436,7 +483,7 @@ def pallas_policy_rollout(
         + [whole() for _ in merged],
         out_specs=[
             pl.BlockSpec(
-                (PACKED_ROWS, num_steps, E),
+                (PACKED_ROWS, num_steps, C * E),
                 lambda i: (0, 0, i),
                 memory_space=pltpu.VMEM,
             ),
@@ -449,17 +496,17 @@ def pallas_policy_rollout(
             jax.ShapeDtypeStruct((1, 4), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((num_steps, E), jnp.float32),
-            pltpu.VMEM((num_steps, E), jnp.float32),
+            pltpu.VMEM((num_steps, C * E), jnp.float32),
+            pltpu.VMEM((num_steps, C * E), jnp.float32),
         ],
         interpret=_interpret_param(interpret),
     )(
         scalars.reshape(1, NUM_SCALARS),
-        stock.reshape(grid, 1, E),
-        t.reshape(grid, 1, E),
-        harvest.reshape(grid, 1, E),
-        ep_ret.reshape(grid, 1, E),
-        ep_len.reshape(grid, 1, E),
+        stock.reshape(grid, C, E),
+        t.reshape(grid, C, E),
+        harvest.reshape(grid, C, E),
+        ep_ret.reshape(grid, C, E),
+        ep_len.reshape(grid, C, E),
         *merged,
     )
     packed, x, tt, hv, ret, ln, met = outs

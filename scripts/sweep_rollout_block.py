@@ -1,10 +1,18 @@
 """Sweep envs_per_block for the fused policy-rollout kernel on the chip.
 
-The kernel is latency-bound on its sequential per-step matmul chain
-(grid programs serialize, and step t+1 depends on step t), so fewer, wider
-grid programs should win until the per-step VPU/MXU work stops being
-overhead-dominated. Methodology: chained iterations + host value fetch
-(BENCH_NOTES "Round 3b").
+Round-4 re-analysis (VERDICT r3 #2): at E=1024 the kernel is NOT
+latency-bound — the two merged [128,128]@[128,1024] matmuls per step total
+137 GFLOP per 16384x128 rollout, and the measured 3.35 ms is ~82% of the
+f32 MXU rate, i.e. the phase sits near the f32 matmul-throughput roofline.
+That also explains this sweep's shape: E 512->1024 only buys the residual
+per-program overhead, and wider blocks can't help. The >=2048 TPU-compile
+crash is VMEM oversubscription, by arithmetic: the (8, T=128, E) packed
+output block is 8 MiB at E=2048, double-buffered 16 MiB, plus 2 MiB of
+rew/done scratch > the ~16 MiB/core VMEM — the remote tpu_compile_helper
+dies instead of erroring. The implemented roofline lever is
+compute="bfloat16" on the two hidden matmuls (native-rate MXU, f32
+accumulation) — see policy_rollout_kernel.py and BENCH_NOTES "Round 4".
+Methodology: chained iterations + host value fetch (BENCH_NOTES "Round 3b").
 """
 import os
 import sys

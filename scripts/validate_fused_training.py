@@ -47,6 +47,10 @@ def main() -> int:
     ap.add_argument("--iterations", type=int, default=300)
     ap.add_argument("--threshold", type=float, default=7.0,
                     help="min final episode return (escapement=7.72)")
+    ap.add_argument("--compute", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute_dtype for the fused path (bfloat16 "
+                         "validates the mixed-precision kernels' learning)")
     ap.add_argument("--agreement", action="store_true",
                     help="also train the pure-XLA path and assert "
                          "per-checkpoint agreement of the learning curves")
@@ -71,6 +75,7 @@ def main() -> int:
         cfg = ppo.PPOConfig(
             num_envs=args.num_envs, num_steps=args.num_steps,
             fused_update=fused_update, fused_rollout=fused_rollout,
+            compute_dtype=args.compute if fused_update else "float32",
         )
         t0 = time.perf_counter()
         ts, history = ppo.train(

@@ -298,3 +298,77 @@ def test_rollout_scalars_traced_safe():
     s = build(params)
     assert s.shape[0] == 22
     np.testing.assert_allclose(float(s[1]), float(params.K))
+
+
+def test_policy_rollout_kernel_bf16_close_to_f32():
+    """compute="bfloat16" runs the two hidden matmuls with bf16 inputs
+    (f32 MXU accumulation) — the rollout phase's roofline lever (BENCH_NOTES
+    Round 4). Must track the f32 kernel closely at z=0 (values/means shift
+    by bf16 input rounding only; dynamics/GAE math stays f32)."""
+    env, params = registry.make("fishing-v1", dtype=jnp.float32, sigma=0.0,
+                                Tmax=10)
+    cfg = ppo.PPOConfig(num_envs=256, num_steps=8, hidden=32)
+    cfg_bf = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    ts = ppo.make_train_state(env, cfg, jax.random.key(2))
+    bstate = batched_reset(env, params, cfg.num_envs)
+    roll_f32, _ = ppo_fused.fused_rollout_collect(
+        env, params, cfg, ts, bstate, jax.random.key(3), interpret=True
+    )
+    roll_bf, _ = ppo_fused.fused_rollout_collect(
+        env, params, cfg_bf, ts, bstate, jax.random.key(3), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(roll_bf.packed_t), np.asarray(roll_f32.packed_t),
+        rtol=0.05, atol=0.02,
+    )
+
+
+@pytest.mark.parametrize("env_id", ["fishing-v1", "fishing-v0"])
+def test_policy_rollout_kernel_blocks_per_program_matches(env_id):
+    """blocks_per_program=2 interleaves two independent env columns per grid
+    program (the ILP lever for the latency-bound rollout body — BENCH_NOTES
+    Round 4). At z=0 the packed buffer and end state must match the
+    single-column kernel exactly (env ordering is preserved: program i,
+    column c covers envs [i*C*E + c*E, i*C*E + (c+1)*E))."""
+    env, params = registry.make(env_id, dtype=jnp.float32, sigma=0.05,
+                                Tmax=5)
+    cfg = ppo.PPOConfig(num_envs=512, num_steps=8, hidden=32)
+    ts = ppo.make_train_state(env, cfg, jax.random.key(4))
+    bstate = batched_reset(env, params, cfg.num_envs)
+    bstate = bstate.replace(
+        env=EnvState(
+            stock=bstate.env.stock
+            * (0.5 + jnp.linspace(0, 1, cfg.num_envs, dtype=jnp.float32)),
+            harvest=bstate.env.harvest,
+            t=(jnp.arange(cfg.num_envs) % 5).astype(jnp.int32),
+        )
+    )
+    head = "gaussian" if env.config.scheme == "continuous" else "categorical"
+    weights = ppo_fused.kernel_weights(ts.params, head)
+    scal = ppo_fused.rollout_scalars(params, jnp.float32(3))
+
+    from gym_fishing_tpu.kernels.policy_rollout_kernel import (
+        pallas_policy_rollout,
+    )
+
+    def run(bpp):
+        return pallas_policy_rollout(
+            bstate.env.stock.astype(jnp.float32), bstate.env.t,
+            bstate.env.harvest.astype(jnp.float32),
+            bstate.episode_return.astype(jnp.float32),
+            bstate.episode_length,
+            weights, scal, num_steps=cfg.num_steps, envs_per_block=128,
+            growth=env.config.growth, noise_form=env.config.noise_form,
+            scheme=env.config.scheme, n_actions=env.config.n_actions,
+            interpret=True, blocks_per_program=bpp,
+        )
+
+    one = run(1)
+    two = run(2)
+    np.testing.assert_allclose(
+        np.asarray(two.packed_t), np.asarray(one.packed_t),
+        rtol=1e-6, atol=1e-7,
+    )
+    for a, b in zip(two, one):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -201,3 +201,54 @@ def test_adam_update_kernel_lowers_for_tpu(head, env_id):
         )
 
     _export_tpu(run, data, order, scalars, merged, zeros, zeros)
+
+
+def test_policy_rollout_kernel_bf16_lowers_for_tpu():
+    env, params = registry.make("fishing-v1", dtype=jnp.float32)
+    _, weights = _weights("fishing-v1")
+    scal = ppo_fused.rollout_scalars(params, jnp.float32(7))
+
+    def run(x, t, hv, er, el, scal, *w):
+        return pallas_policy_rollout(
+            x, t, hv, er, el, tuple(w), scal,
+            num_steps=T, envs_per_block=256,
+            growth=env.config.growth, noise_form=env.config.noise_form,
+            scheme=env.config.scheme, n_actions=env.config.n_actions,
+            compute="bfloat16",
+        )
+
+    _export_tpu(
+        run,
+        jnp.full((B,), 0.75, jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), 0.0125, jnp.float32),
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        scal,
+        *weights,
+    )
+
+
+def test_policy_rollout_kernel_blocks_per_program_lowers_for_tpu():
+    env, params = registry.make("fishing-v1", dtype=jnp.float32)
+    _, weights = _weights("fishing-v1")
+    scal = ppo_fused.rollout_scalars(params, jnp.float32(7))
+
+    def run(x, t, hv, er, el, scal, *w):
+        return pallas_policy_rollout(
+            x, t, hv, er, el, tuple(w), scal,
+            num_steps=T, envs_per_block=128, blocks_per_program=2,
+            growth=env.config.growth, noise_form=env.config.noise_form,
+            scheme=env.config.scheme, n_actions=env.config.n_actions,
+        )
+
+    _export_tpu(
+        run,
+        jnp.full((B,), 0.75, jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), 0.0125, jnp.float32),
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        scal,
+        *weights,
+    )
