@@ -94,15 +94,28 @@ def main() -> None:
         "methodology": "chained+fetched",
         "git_sha": _git_sha(),
     }
+    if on_tpu:
+        # device/tunnel health control (healthy v5e ~2 ms): a degraded
+        # tunnel tanks every number below without any code change — this
+        # makes such an artifact self-identifying (BENCH_NOTES "Round 4f").
+        from gym_fishing_tpu.bench.throughput import device_health_matmul_ms
+
+        line["device_health_matmul_ms"] = round(device_health_matmul_ms(), 3)
     # Also record the general-purpose XLA engine at the same shape in the
     # same run (one line, both stepping paths) unless that IS the main mode.
+    # BENCH_RNG selects the key impl for the engine (threefry2x32 | rbg;
+    # rbg = XLA RngBitGenerator hardware path, measured 2.15x — BENCH_NOTES
+    # "Round 4e"); default stays threefry so the recorded number matches
+    # the engine's default configuration.
     if res["mode"] == "pallas" and os.environ.get("BENCH_SKIP_XLA") != "1":
         xla_res = measure(
             env_id=env_id, num_envs=num_envs, num_steps=num_steps,
             iters=int(os.environ.get("BENCH_XLA_ITERS", 3)), mode="xla",
+            rng_impl=os.environ.get("BENCH_RNG", "threefry2x32"),
         )
         line["xla_steps_per_s"] = xla_res["steps_per_s"]
         line["xla_vs_baseline"] = xla_res["vs_baseline"]
+        line["xla_rng_impl"] = xla_res["rng_impl"]
     ppo_res = None
     if on_tpu and os.environ.get("BENCH_SKIP_PPO") != "1":
         from gym_fishing_tpu.bench.throughput import measure_ppo_train
@@ -117,6 +130,18 @@ def main() -> None:
         line["ppo_train_vs_50M_target"] = ppo_res["vs_baseline"]
     print(json.dumps(line))
 
+    # Floors catch CODE regressions; a sick tunnel (health control >> 2 ms)
+    # tanks every number regardless of code, so gating would only convert
+    # an infrastructure incident into a spurious failure.
+    health = line.get("device_health_matmul_ms")
+    if health is not None and health > 20.0:
+        print(
+            f"DEGRADED DEVICE/TUNNEL: matmul control {health:.1f} ms/iter "
+            "(healthy ~2) — perf floors skipped; numbers in this artifact "
+            "reflect tunnel health, not code",
+            file=sys.stderr,
+        )
+        return
     full_size = num_envs * num_steps >= (1 << 21) * 128  # floors assume load
     floor = float(
         os.environ.get(

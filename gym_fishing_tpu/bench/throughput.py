@@ -40,6 +40,27 @@ def _sync(out) -> float:
     return float(np.asarray(leaf).ravel()[0])
 
 
+def device_health_matmul_ms(iters: int = 5) -> float:
+    """Chained 4096^3 f32 matmul ms/iter — the device/tunnel health control.
+
+    Healthy v5e: ~2 ms. The axon tunnel can degrade by orders of magnitude
+    (round 4 recorded 876 ms/iter after a client was killed mid-RPC), which
+    tanks every benchmark number without any code change. bench.py embeds
+    this in its JSON line so a degraded artifact is self-identifying.
+    """
+    import numpy as np
+
+    x = jnp.ones((4096, 4096), jnp.float32)
+    f = jax.jit(lambda a: a @ a * 0.001 + 1.0)
+    s = f(x)
+    float(np.asarray(s).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = f(s)
+    float(np.asarray(s).ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def measure(
     env_id: str = "fishing-v1",
     num_envs: int = 1 << 20,
@@ -50,6 +71,7 @@ def measure(
     mesh=None,
     store_trajectory: bool = False,
     mode: str = "xla",
+    rng_impl: str = "threefry2x32",
 ) -> dict:
     """Time the fused rollout; returns steps/s and vs-baseline ratio.
 
@@ -60,6 +82,13 @@ def measure(
     ``mode="pallas"``: the hand-written VMEM-resident rollout kernel
     (kernels/rollout_kernel.py) — same dynamics + auto-reset + escapement
     policy, state stays on-chip for all num_steps.
+
+    ``rng_impl``: key implementation for the XLA engine ("threefry2x32" |
+    "rbg"). The engine is key-impl-agnostic (all draws flow from the
+    caller's key), and "rbg" lowers the per-step noise draw to the XLA
+    RngBitGenerator hardware path — measured 2.15x on the engine (3.26 ->
+    7.0 B steps/s at the bench default, BENCH_NOTES "Round 4"); key
+    SPLITTING still uses threefry-quality derivation under impl "rbg".
     """
     if mode == "pallas":
         return _measure_pallas(env_id, num_envs, num_steps, iters, warmup, sigma)
@@ -93,7 +122,7 @@ def measure(
     if mesh is not None:
         state = shard_batch(state, mesh)
 
-    key = jax.random.key(0)
+    key = jax.random.key(0, impl=rng_impl)
     for _ in range(warmup):
         key, sub = jax.random.split(key)
         out = run(state, sub)
@@ -113,6 +142,7 @@ def measure(
     return {
         "env_id": env_id,
         "mode": "xla",
+        "rng_impl": rng_impl,
         "num_envs": num_envs,
         "num_steps": num_steps,
         "iters": iters,

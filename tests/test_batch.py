@@ -168,3 +168,38 @@ def test_mixture_growth_model_uncertainty():
     )(state, bp, key)
     assert not np.array_equal(np.asarray(bp2.model_idx), idx_before)
     assert set(np.asarray(bp2.model_idx)).issubset(set(range(len(GROWTH_MODELS))))
+
+
+def test_engine_rbg_keys_match_threefry_distributionally():
+    """The engine is key-impl-agnostic: jax.random.key(seed, impl="rbg")
+    (XLA RngBitGenerator — the 2.15x engine fast path, BENCH_NOTES Round 4e)
+    must produce the same trajectory DISTRIBUTION as threefry at matched
+    (B, T, sigma), though not the same streams."""
+    import gym_fishing_tpu as gft
+    from gym_fishing_tpu.batch import batched_reset, batched_step
+
+    env, params = gft.make("fishing-v1", dtype=jnp.float32, sigma=0.1)
+    B, T = 4096, 30
+
+    def final_stocks(impl):
+        state = batched_reset(env, params, B)
+
+        def body(carry, k):
+            st = carry
+            a = jnp.full((B, 1), -0.9, jnp.float32)
+            st, _ = batched_step(env, params, st, a, k, autoreset=True)
+            return st, None
+
+        keys = jax.random.split(jax.random.key(0, impl=impl), T)
+        state, _ = jax.lax.scan(body, state, keys)
+        return np.sort(np.asarray(state.env.stock, np.float64))
+
+    a = final_stocks("threefry2x32")
+    b = final_stocks("rbg")
+    grid = np.concatenate([a, b])
+    ks = np.abs(
+        np.searchsorted(a, grid, side="right") / a.size
+        - np.searchsorted(b, grid, side="right") / b.size
+    ).max()
+    assert ks < 0.045, f"KS {ks} between rbg and threefry trajectories"
+    assert abs(a.mean() - b.mean()) < 4 * (a.std() + b.std()) / np.sqrt(a.size)
