@@ -68,7 +68,7 @@ class PPOConfig:
     # agents/ppo_fused.py). RNG is the kernel's on-chip PRNG, so
     # trajectories match the XLA path statistically, not bitwise.
     fused_rollout: bool = False
-    # fused_adam=True (requires fused_update, single-device, constant lr)
+    # fused_adam=True (requires fused_update; single-device)
     # moves clip-by-global-norm + Adam INSIDE the update kernel: each
     # minibatch is one pallas launch computing gradient + optimizer step on
     # the VMEM-resident merged buffers, and optax state is read/written once

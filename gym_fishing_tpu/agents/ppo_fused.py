@@ -133,15 +133,26 @@ def _find_adam_state(opt_state):
     return hits[0]
 
 
-def _replace_adam_state(opt_state, new_adam):
+def _replace_adam_state(opt_state, new_adam, n_updates: int = 0):
+    """Swap in the new ScaleByAdamState; advance any schedule counts.
+
+    With anneal_lr the optax chain also carries a ScaleByScheduleState
+    whose count drives the lr schedule — it must advance by the number of
+    fused updates so a later optax-path apply continues the schedule."""
     import optax
 
     def sub(s):
-        return new_adam if isinstance(s, optax.ScaleByAdamState) else s
+        if isinstance(s, optax.ScaleByAdamState):
+            return new_adam
+        if isinstance(s, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(count=s.count + n_updates)
+        return s
 
     return jax.tree_util.tree_map(
         sub, opt_state,
-        is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState),
+        is_leaf=lambda x: isinstance(
+            x, (optax.ScaleByAdamState, optax.ScaleByScheduleState)
+        ),
     )
 
 
@@ -157,15 +168,12 @@ def fused_epoch_scan_adam(cfg, ts, packed_t, obs_dim, act_dim, k_perm,
     before and written back once after — removing the 32 per-minibatch
     optax applies and grads->pytree relayouts (VERDICT r3 #3).
 
-    Semantics match optax.chain(clip_by_global_norm, adam(lr, eps=1e-5))
-    with a CONSTANT lr (anneal_lr raises); validated against the optax
-    path in tests/test_update_kernel.py.
+    Semantics match optax.chain(clip_by_global_norm, adam(lr, eps=1e-5)),
+    including anneal_lr's linear schedule (lr is a per-launch scalar, so
+    the schedule is evaluated host-side from the carried Adam count —
+    exactly optax.linear_schedule(lr, 0, total_updates)); validated
+    against the optax path in tests/test_update_kernel.py.
     """
-    if cfg.anneal_lr:
-        raise NotImplementedError(
-            "fused_adam supports constant lr only (anneal_lr=False); the "
-            "optax path handles schedules"
-        )
     batch_local = packed_t.shape[1]
     mb_local = batch_local // cfg.num_minibatches
     tile = next(
@@ -216,11 +224,25 @@ def fused_epoch_scan_adam(cfg, ts, packed_t, obs_dim, act_dim, k_perm,
             tf = count1.astype(jnp.float32)
             bc1 = 1.0 - jnp.power(jnp.float32(0.9), tf)
             bc2 = 1.0 - jnp.power(jnp.float32(0.999), tf)
+            if cfg.anneal_lr:
+                # optax.linear_schedule(lr, 0, total_updates), evaluated at
+                # the PRE-increment count — matching scale_by_schedule's
+                # "use count, then increment" order in the optax chain
+                total_updates = (
+                    cfg.total_iterations * cfg.epochs * cfg.num_minibatches
+                )
+                frac = jnp.clip(
+                    count.astype(jnp.float32) / jnp.float32(total_updates),
+                    0.0, 1.0,
+                )
+                lr = jnp.float32(cfg.lr) * (1.0 - frac)
+            else:
+                lr = jnp.float32(cfg.lr)
             scalars = jnp.zeros((ADAM_NUM_SCALARS,), jnp.float32)
             scalars = scalars.at[0:6].set(base)
             scalars = scalars.at[3].set(mu)
             scalars = scalars.at[4].set(inv_std)
-            scalars = scalars.at[8].set(jnp.float32(cfg.lr))
+            scalars = scalars.at[8].set(lr)
             scalars = scalars.at[9].set(bc1)
             scalars = scalars.at[10].set(bc2)
             w, m, v, met = fused_minibatch_grad_adam(
@@ -293,7 +315,7 @@ def fused_epoch_scan_adam(cfg, ts, packed_t, obs_dim, act_dim, k_perm,
     n_updates = cfg.epochs * cfg.num_minibatches
     ts = ts.replace(
         params=to_params(merged_w, has_log_std),
-        opt_state=_replace_adam_state(ts.opt_state, new_adam),
+        opt_state=_replace_adam_state(ts.opt_state, new_adam, n_updates),
         step=ts.step + n_updates,
     )
     return ts, metrics

@@ -454,16 +454,49 @@ def test_fused_adam_matches_optax_path_categorical():
     )
 
 
-def test_fused_adam_rejects_anneal_lr():
+def test_fused_adam_matches_optax_path_anneal_lr():
+    """anneal_lr: the in-kernel path evaluates optax.linear_schedule from
+    the carried Adam count and advances the chain's ScaleByScheduleState,
+    so mixed fused/optax usage continues the schedule seamlessly."""
     import dataclasses
 
-    cfg, ts, params, _batch, packed = _setup(n=256)
-    cfg = dataclasses.replace(cfg, anneal_lr=True)
+    from gym_fishing_tpu.registry import make as _make
+
+    env, _ = _make("fishing-v1")
+    cfg0, ts0, params, _batch, packed = _setup(ent_coef=0.0, seed=9, n=512)
+    cfg = dataclasses.replace(
+        cfg0, epochs=2, num_minibatches=2, anneal_lr=True, total_iterations=2
+    )
+    # rebuild the train state with the SCHEDULED optimizer
+    ts = ppo.make_train_state(env, cfg, jax.random.key(0))
+    ts = ts.replace(params=params)
     packed_t = ppo_fused.pack_feature_major(packed)
-    with pytest.raises(NotImplementedError):
-        ppo_fused.fused_epoch_scan_adam(
-            cfg, ts, packed_t, 1, 1, jax.random.key(0), interpret=True
-        )
+    k = jax.random.key(44)
+
+    ts_opt, _ = ppo_fused.fused_epoch_scan(
+        cfg, ts, packed_t, 1, 1, k, head="gaussian", interpret=True
+    )
+    ts_adam, _ = ppo_fused.fused_epoch_scan_adam(
+        cfg, ts, packed_t, 1, 1, k, head="gaussian", interpret=True
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-6
+        ),
+        ts_adam.params, ts_opt.params,
+    )
+    # schedule count advanced identically
+    import optax
+
+    def sched_counts(s):
+        return [
+            int(x.count) for x in jax.tree_util.tree_leaves(
+                s, is_leaf=lambda y: isinstance(y, optax.ScaleByScheduleState)
+            )
+            if isinstance(x, optax.ScaleByScheduleState)
+        ]
+
+    assert sched_counts(ts_adam.opt_state) == sched_counts(ts_opt.opt_state)
 
 
 def test_train_step_fused_adam_matches_fused_optax():
