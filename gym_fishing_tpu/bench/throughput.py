@@ -250,6 +250,7 @@ def measure_ppo_train(
     steps_per_s = total / dt
     return {
         "mode": f"ppo-{fused}" + ("+adam" if fused_adam else ""),
+        "compute_dtype": cfg.compute_dtype,
         "num_envs": num_envs,
         "num_steps": num_steps,
         "epochs": cfg.epochs,

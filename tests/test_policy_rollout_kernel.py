@@ -372,3 +372,50 @@ def test_policy_rollout_kernel_blocks_per_program_matches(env_id):
     for a, b in zip(two, one):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_hlo_interpret_tier_matches_mosaic_interpreter():
+    """interpret="hlo" (generic-interpreter tier, multi-process-safe) must
+    reproduce the Mosaic interpreter bitwise on CPU: both yield zero PRNG
+    bits, and all other math is the same f32 program. Guards the portable
+    stand-ins in kernels/rollout_kernel._random_bits/_uniform_from_bits."""
+    env, params = registry.make("fishing-v1", dtype=jnp.float32, sigma=0.05,
+                                Tmax=6)
+    cfg = ppo.PPOConfig(num_envs=256, num_steps=8, hidden=32)
+    ts = ppo.make_train_state(env, cfg, jax.random.key(6))
+    bstate = batched_reset(env, params, cfg.num_envs)
+    roll_m, bm = ppo_fused.fused_rollout_collect(
+        env, params, cfg, ts, bstate, jax.random.key(7), interpret=True
+    )
+    roll_h, bh = ppo_fused.fused_rollout_collect(
+        env, params, cfg, ts, bstate, jax.random.key(7), interpret="hlo"
+    )
+    np.testing.assert_allclose(
+        np.asarray(roll_h.packed_t), np.asarray(roll_m.packed_t),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bh.env.stock), np.asarray(bm.env.stock),
+        rtol=1e-7, atol=1e-8,
+    )
+    # the update kernel under "hlo" (no PRNG; plain program equivalence)
+    from gym_fishing_tpu.kernels.ppo_update_kernel import fused_minibatch_grad
+
+    weights = ppo_fused.kernel_weights(ts.params, "gaussian")
+    n, tile = 2048, 256
+    order = jnp.arange(n // tile, dtype=jnp.int32)
+    scal = jnp.zeros((8,), jnp.float32).at[2].set(1.0 / n).at[4].set(1.0)
+    gm, mm = fused_minibatch_grad(
+        roll_m.packed_t[:, :n], order, weights, scal, obs_dim=1, act_dim=1,
+        tile=tile, head="gaussian", interpret=True,
+    )
+    gh, mh = fused_minibatch_grad(
+        roll_h.packed_t[:, :n], order, weights, scal, obs_dim=1, act_dim=1,
+        tile=tile, head="gaussian", interpret="hlo",
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        gh, gm,
+    )
