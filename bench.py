@@ -54,6 +54,27 @@ def main() -> None:
 
     from gym_fishing_tpu.bench.throughput import measure
 
+    import jax
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    health = None
+    if on_tpu:
+        # Device/tunnel health control FIRST (healthy v5e ~2 ms): a
+        # degraded tunnel tanks every number below without any code change;
+        # measuring it up front both makes the artifact self-identifying
+        # and surfaces the condition on stderr before the long main
+        # measurement (BENCH_NOTES "Round 4f").
+        from gym_fishing_tpu.bench.throughput import device_health_matmul_ms
+
+        health = round(device_health_matmul_ms(), 3)
+        if health > 20.0:
+            print(
+                f"DEGRADED DEVICE/TUNNEL: matmul control {health:.1f} "
+                "ms/iter (healthy ~2) — numbers below reflect tunnel "
+                "health, not code; perf floors will be skipped",
+                file=sys.stderr,
+            )
+
     try:
         res = measure(
             env_id=env_id, num_envs=num_envs, num_steps=num_steps, iters=iters,
@@ -67,9 +88,6 @@ def main() -> None:
             )
         else:
             raise
-    import jax
-
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
 
     # Learner gate: the fully-fused PPO train step (rollout kernel + update
     # kernel + 4x8 minibatch SGD). TPU-only — it runs the REAL
@@ -94,13 +112,8 @@ def main() -> None:
         "methodology": "chained+fetched",
         "git_sha": _git_sha(),
     }
-    if on_tpu:
-        # device/tunnel health control (healthy v5e ~2 ms): a degraded
-        # tunnel tanks every number below without any code change — this
-        # makes such an artifact self-identifying (BENCH_NOTES "Round 4f").
-        from gym_fishing_tpu.bench.throughput import device_health_matmul_ms
-
-        line["device_health_matmul_ms"] = round(device_health_matmul_ms(), 3)
+    if health is not None:
+        line["device_health_matmul_ms"] = health
     # Also record the general-purpose XLA engine at the same shape in the
     # same run (one line, both stepping paths) unless that IS the main mode.
     # BENCH_RNG selects the key impl for the engine (threefry2x32 | rbg;
