@@ -41,3 +41,10 @@ def test_time_fn():
     f = jax.jit(lambda x: (x * 2).sum())
     out = time_fn(f, jnp.ones(128), iters=3, warmup=1)
     assert out["seconds_per_call"] > 0 and out["iters"] == 3
+
+
+def test_measure_rng_impl_rbg_tiny():
+    res = measure(num_envs=64, num_steps=8, iters=2, warmup=1, mode="xla",
+                  rng_impl="rbg")
+    assert res["steps_per_s"] > 0
+    assert res["rng_impl"] == "rbg"
