@@ -30,6 +30,30 @@ _TPU_FLOORS = {"pallas": 6e8, "xla": 8e8}
 _PPO_TPU_FLOOR = 4e7
 
 
+# device/tunnel health control threshold (healthy v5e ~2 ms; BENCH_NOTES
+# "Round 4f" recorded 876 ms after a killed client wedged the tunnel)
+_HEALTH_DEGRADED_MS = 20.0
+
+
+def _probe_health() -> float:
+    """One health reading, with a single retry on a degraded (>20 ms) value.
+
+    Round 4's artifact showed why a single-shot control is not trustworthy:
+    the pre-run control read 384.6 ms while every main number in the same
+    run was at healthy-session levels — a transient (first-touch/cold
+    tunnel) misfire that mislabeled the whole artifact DEGRADED and silently
+    skipped the perf floors (VERDICT r4 Weak #1). A degraded first reading
+    is therefore retried once and the MINIMUM is taken: a healthy second
+    reading proves the tunnel can do ~2 ms, so the first was transient.
+    """
+    from gym_fishing_tpu.bench.throughput import device_health_matmul_ms
+
+    h = device_health_matmul_ms()
+    if h > _HEALTH_DEGRADED_MS:
+        h = min(h, device_health_matmul_ms())
+    return round(h, 3)
+
+
 def _git_sha() -> str:
     import subprocess
 
@@ -57,21 +81,21 @@ def main() -> None:
     import jax
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    health = None
+    health_pre = None
     if on_tpu:
-        # Device/tunnel health control FIRST (healthy v5e ~2 ms): a
-        # degraded tunnel tanks every number below without any code change;
-        # measuring it up front both makes the artifact self-identifying
-        # and surfaces the condition on stderr before the long main
-        # measurement (BENCH_NOTES "Round 4f").
-        from gym_fishing_tpu.bench.throughput import device_health_matmul_ms
-
-        health = round(device_health_matmul_ms(), 3)
-        if health > 20.0:
+        # Device/tunnel health control runs BEFORE *and* AFTER the main
+        # measurement (VERDICT r4 #1): a degraded tunnel tanks every number
+        # without any code change, but a single pre-run control can also
+        # misfire on a transient (r04's 384.6 ms label over healthy
+        # values). Dual controls disambiguate: floors are skipped ONLY when
+        # BOTH ends are degraded; a healthy reading at either end means the
+        # session could execute at speed, so the floors stand.
+        health_pre = _probe_health()
+        if health_pre > _HEALTH_DEGRADED_MS:
             print(
-                f"DEGRADED DEVICE/TUNNEL: matmul control {health:.1f} "
-                "ms/iter (healthy ~2) — numbers below reflect tunnel "
-                "health, not code; perf floors will be skipped",
+                f"DEGRADED DEVICE/TUNNEL (pre): matmul control "
+                f"{health_pre:.1f} ms/iter (healthy ~2) — numbers below "
+                "may reflect tunnel health, not code",
                 file=sys.stderr,
             )
 
@@ -112,46 +136,86 @@ def main() -> None:
         "methodology": "chained+fetched",
         "git_sha": _git_sha(),
     }
-    if health is not None:
-        line["device_health_matmul_ms"] = health
     # Also record the general-purpose XLA engine at the same shape in the
     # same run (one line, both stepping paths) unless that IS the main mode.
     # BENCH_RNG selects the key impl for the engine (threefry2x32 | rbg;
     # rbg = XLA RngBitGenerator hardware path, measured 2.15x — BENCH_NOTES
     # "Round 4e"); default stays threefry so the recorded number matches
     # the engine's default configuration.
+    xla_iters = int(os.environ.get("BENCH_XLA_ITERS", 3))
+    skip_fast = os.environ.get("BENCH_SKIP_FAST") == "1"
     if res["mode"] == "pallas" and os.environ.get("BENCH_SKIP_XLA") != "1":
         xla_res = measure(
             env_id=env_id, num_envs=num_envs, num_steps=num_steps,
-            iters=int(os.environ.get("BENCH_XLA_ITERS", 3)), mode="xla",
+            iters=xla_iters, mode="xla",
             rng_impl=os.environ.get("BENCH_RNG", "threefry2x32"),
         )
         line["xla_steps_per_s"] = xla_res["steps_per_s"]
         line["xla_vs_baseline"] = xla_res["vs_baseline"]
         line["xla_rng_impl"] = xla_res["rng_impl"]
+        # Validated fast tier (VERDICT r4 #2): the rbg engine RNG (XLA
+        # RngBitGenerator hardware path, KS-tested in tests/test_batch.py).
+        # Recorded in the same artifact so the chip's proven capability is
+        # what future rounds compare against; threefry stays the default
+        # (cross-backend stream stability — see README "Defaults").
+        if not skip_fast and xla_res["rng_impl"] != "rbg":
+            rbg_res = measure(
+                env_id=env_id, num_envs=num_envs, num_steps=num_steps,
+                iters=xla_iters, mode="xla", rng_impl="rbg",
+            )
+            line["xla_rbg_steps_per_s"] = rbg_res["steps_per_s"]
+            line["xla_rbg_vs_baseline"] = rbg_res["vs_baseline"]
     ppo_res = None
     if on_tpu and os.environ.get("BENCH_SKIP_PPO") != "1":
         from gym_fishing_tpu.bench.throughput import measure_ppo_train
 
+        ppo_envs = int(os.environ.get("BENCH_PPO_NUM_ENVS", 16384))
+        ppo_steps = int(os.environ.get("BENCH_PPO_NUM_STEPS", 128))
+        ppo_iters = int(os.environ.get("BENCH_PPO_ITERS", 10))
         ppo_res = measure_ppo_train(
-            num_envs=int(os.environ.get("BENCH_PPO_NUM_ENVS", 16384)),
-            num_steps=int(os.environ.get("BENCH_PPO_NUM_STEPS", 128)),
-            iters=int(os.environ.get("BENCH_PPO_ITERS", 10)),
+            num_envs=ppo_envs, num_steps=ppo_steps, iters=ppo_iters,
         )
         line["ppo_train_steps_per_s"] = ppo_res["steps_per_s"]
         line["ppo_train_mode"] = ppo_res["mode"]
         line["ppo_train_vs_50M_target"] = ppo_res["vs_baseline"]
+        # Validated fast tier (VERDICT r4 #2): bf16 compute + in-kernel
+        # Adam — convergence-validated on chip (BENCH_NOTES "Round 4e",
+        # final return 7.389 ≡ f32). f32 stays the default (bitwise-repro
+        # guarantee + optax-parity gate — see README "Defaults").
+        if not skip_fast:
+            ppo_fast = measure_ppo_train(
+                num_envs=ppo_envs, num_steps=ppo_steps, iters=ppo_iters,
+                compute_dtype="bfloat16", fused_adam=True,
+            )
+            line["ppo_bf16_steps_per_s"] = ppo_fast["steps_per_s"]
+            line["ppo_bf16_mode"] = ppo_fast["mode"]
+            line["ppo_bf16_compute"] = ppo_fast["compute_dtype"]
+    health_post = _probe_health() if on_tpu else None
+    if health_pre is not None:
+        line["health_pre_ms"] = health_pre
+        line["health_post_ms"] = health_post
+        # legacy single-control key (r01-r04 comparability) = the pre value
+        line["device_health_matmul_ms"] = health_pre
     print(json.dumps(line))
 
-    # Floors catch CODE regressions; a sick tunnel (health control >> 2 ms)
-    # tanks every number regardless of code, so gating would only convert
-    # an infrastructure incident into a spurious failure.
-    health = line.get("device_health_matmul_ms")
-    if health is not None and health > 20.0:
+    # Floors catch CODE regressions. They are skipped ONLY when BOTH health
+    # controls are degraded (a genuinely sick tunnel tanks every number
+    # regardless of code); a healthy reading at either end means the session
+    # could execute at speed, so a floor miss is treated as a real
+    # regression (VERDICT r4 #1: the old single-control skip was a
+    # regression-gate bypass).
+    both_degraded = (
+        health_pre is not None
+        and health_pre > _HEALTH_DEGRADED_MS
+        and health_post is not None
+        and health_post > _HEALTH_DEGRADED_MS
+    )
+    if both_degraded:
         print(
-            f"DEGRADED DEVICE/TUNNEL: matmul control {health:.1f} ms/iter "
-            "(healthy ~2) — perf floors skipped; numbers in this artifact "
-            "reflect tunnel health, not code",
+            f"DEGRADED DEVICE/TUNNEL: matmul controls pre={health_pre:.1f} "
+            f"post={health_post:.1f} ms/iter (healthy ~2) — perf floors "
+            "skipped; numbers in this artifact reflect tunnel health, not "
+            "code",
             file=sys.stderr,
         )
         return

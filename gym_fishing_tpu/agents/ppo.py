@@ -68,6 +68,16 @@ class PPOConfig:
     # agents/ppo_fused.py). RNG is the kernel's on-chip PRNG, so
     # trajectories match the XLA path statistically, not bitwise.
     fused_rollout: bool = False
+    # Fused-rollout chain-shortening options (VERDICT r4 #3 ablations):
+    # rollout_pregen_noise pre-generates ALL per-step random draws in one
+    # vectorized kernel pre-pass (noise is state-independent), replacing the
+    # per-step PRNG+Box-Muller in the latency-bound dependent loop with VMEM
+    # loads; rollout_fold_obs folds the obs affine map (x/K - 1) into the
+    # policy input layer. Both preserve semantics (law-identical RNG;
+    # ~1-ulp f32 difference for fold_obs) — see BENCH_NOTES "Round 5" for
+    # the measured effect.
+    rollout_pregen_noise: bool = False
+    rollout_fold_obs: bool = False
     # fused_adam=True (requires fused_update; single-device)
     # moves clip-by-global-norm + Adam INSIDE the update kernel: each
     # minibatch is one pallas launch computing gradient + optimizer step on
@@ -184,9 +194,13 @@ def make_train_state(
         schedule = optax.linear_schedule(cfg.lr, 0.0, total_updates)
     else:
         schedule = cfg.lr
+    from gym_fishing_tpu.kernels.ppo_update_kernel import (
+        ADAM_B1, ADAM_B2, ADAM_EPS,
+    )
+
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adam(schedule, eps=1e-5),
+        optax.adam(schedule, b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS),
     )
     return TrainState.create(apply_fn=net.apply, params=net_params, tx=tx)
 

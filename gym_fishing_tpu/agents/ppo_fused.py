@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from gym_fishing_tpu.kernels.ppo_update_kernel import (
+    ADAM_B1,
+    ADAM_B2,
     ADAM_NUM_SCALARS,
     C_PAD,
     NUM_SCALARS,
@@ -173,6 +175,14 @@ def fused_epoch_scan_adam(cfg, ts, packed_t, obs_dim, act_dim, k_perm,
     the schedule is evaluated host-side from the carried Adam count —
     exactly optax.linear_schedule(lr, 0, total_updates)); validated
     against the optax path in tests/test_update_kernel.py.
+
+    Metric approximation (ADVICE r4): for the gaussian head, the reported
+    ``entropy`` (and hence the ``loss`` metric) is computed from log_std
+    frozen at train-step entry, while the optax path recomputes it from the
+    evolving params each minibatch — so when ent_coef > 0 these two METRICS
+    drift slightly within a train step. The params/optimizer math is
+    unaffected (the kernel differentiates the true entropy term), so parity
+    tests on the metrics should use a relaxed tolerance when ent_coef > 0.
     """
     batch_local = packed_t.shape[1]
     mb_local = batch_local // cfg.num_minibatches
@@ -222,8 +232,8 @@ def fused_epoch_scan_adam(cfg, ts, packed_t, obs_dim, act_dim, k_perm,
             inv_std = 1.0 / (jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-8)
             count1 = count + 1
             tf = count1.astype(jnp.float32)
-            bc1 = 1.0 - jnp.power(jnp.float32(0.9), tf)
-            bc2 = 1.0 - jnp.power(jnp.float32(0.999), tf)
+            bc1 = 1.0 - jnp.power(jnp.float32(ADAM_B1), tf)
+            bc2 = 1.0 - jnp.power(jnp.float32(ADAM_B2), tf)
             if cfg.anneal_lr:
                 # optax.linear_schedule(lr, 0, total_updates), evaluated at
                 # the PRE-increment count — matching scale_by_schedule's
@@ -377,6 +387,8 @@ def fused_rollout_collect(env, env_params, cfg, ts, bstate, key,
         obs_noise=obs_noise,
         interpret=interpret,
         compute=cfg.compute_dtype,
+        pregen_noise=cfg.rollout_pregen_noise,
+        fold_obs=cfg.rollout_fold_obs,
     )
     dtype = env_params.dtype
     new_bstate = BatchState(

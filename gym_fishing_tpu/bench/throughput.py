@@ -51,7 +51,12 @@ def device_health_matmul_ms(iters: int = 5) -> float:
     import numpy as np
 
     x = jnp.ones((4096, 4096), jnp.float32)
-    f = jax.jit(lambda a: a @ a * 0.001 + 1.0)
+    # 1/4096 renormalization keeps chained values at exactly 1.0 (ones @ ones
+    # = 4096 everywhere): the previous *0.001+1.0 scaling grew
+    # superexponentially and hit f32 inf by ~the 6th chained call, so the
+    # control was timing inf arithmetic (ADVICE r4). Matmul cost is
+    # value-independent on TPU, but bounded values keep the control honest.
+    f = jax.jit(lambda a: (a @ a) * (1.0 / 4096.0))
     s = f(x)
     float(np.asarray(s).ravel()[0])
     t0 = time.perf_counter()
@@ -205,6 +210,9 @@ def measure_ppo_train(
     sigma: float = 0.05,
     fused: str = "full",   # "full" | "update" | "off"
     fused_adam: bool = False,
+    compute_dtype: str = "float32",
+    pregen_noise: bool = False,
+    fold_obs: bool = False,
 ) -> dict:
     """Time the full PPO train step (rollout + GAE + 4x8 minibatch SGD).
 
@@ -225,6 +233,9 @@ def measure_ppo_train(
         fused_update=fused in ("full", "update"),
         fused_rollout=fused == "full",
         fused_adam=fused_adam,
+        compute_dtype=compute_dtype,
+        rollout_pregen_noise=pregen_noise,
+        rollout_fold_obs=fold_obs,
     )
     key = jax.random.key(0)
     ts = ppo.make_train_state(env, cfg, key)
@@ -249,7 +260,8 @@ def measure_ppo_train(
     total = num_envs * num_steps * iters
     steps_per_s = total / dt
     return {
-        "mode": f"ppo-{fused}" + ("+adam" if fused_adam else ""),
+        "mode": f"ppo-{fused}" + ("+adam" if fused_adam else "")
+        + ("+pregen" if pregen_noise else "") + ("+fold" if fold_obs else ""),
         "compute_dtype": cfg.compute_dtype,
         "num_envs": num_envs,
         "num_steps": num_steps,

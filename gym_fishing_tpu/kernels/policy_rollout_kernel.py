@@ -97,9 +97,10 @@ def _policy_rollout_kernel(
     packed_ref,                  # VMEM (8, T, C*E) f32
     x_out, t_out, hv_out, ret_out, len_out,   # VMEM (1, C, E)
     met_ref,                     # SMEM (1, 4) f32
-    # scratch
+    # scratch: rew, done, then (pregen_noise only) the pre-generated noise
+    # planes — [za, zp] (+ [nf] when obs_noise)
     rew_scr, done_scr,           # VMEM (T, C*E) f32
-    *,
+    *noise_scr,
     num_steps: int,
     growth: str,
     noise_form: str,
@@ -111,6 +112,8 @@ def _policy_rollout_kernel(
     hlo: bool = False,
     compute: str = "float32",
     cols: int = 1,
+    pregen_noise: bool = False,
+    fold_obs: bool = False,
 ):
     s = [scal_ref[0, i] for i in range(NUM_SCALARS)]
     K = s[1]
@@ -158,24 +161,72 @@ def _policy_rollout_kernel(
 
     # Mixed precision (compute="bfloat16", opt-in via PPOConfig.compute_
     # dtype): the two [2H]-contraction matmuls take bf16 INPUTS with f32
-    # MXU accumulation. This phase is ~82% of the f32 matmul roofline at
-    # E=1024 (137 GFLOP of policy matmuls per 16384x128 rollout over the
-    # measured 3.35 ms — NOT latency-bound; BENCH_NOTES "Round 4"), so
-    # bf16's native MXU rate is the one remaining lever. Weights are cast
+    # MXU accumulation. Round-4 ablation verdict (BENCH_NOTES "Round 4b",
+    # DESIGN.md §2): the rollout body is LATENCY-bound on its ~15-20
+    # dependent ops/step, so bf16 is NEUTRAL here (the roofline arithmetic
+    # that suggested otherwise was a coincidence); the measured bf16 win is
+    # in the UPDATE phase (kernels/ppo_update_kernel.py). Kept available so
+    # compute_dtype selects one precision for both phases. Weights are cast
     # once; heads/elementwise/sampling stay f32.
     mt = jnp.bfloat16 if compute == "bfloat16" else f32
     w2c_c = w2c_ref[:].astype(mt)
     whc_c = whc_ref[:].astype(mt)
 
-    def forward(obs):
+    inv_K = 1.0 / K
+    if fold_obs:
+        # Chain-shortening ablation (b), VERDICT r4 #3: the obs affine map
+        # obs = clip(meas/K - 1, -1, 1) == clip(meas, 0, 2K)/K - 1, so the
+        # /K - 1 part folds into the input layer (w1s = w1/K, b1s = b1 - w1)
+        # and the dependent chain carries the CLIPPED RAW measurement m
+        # instead of obs — 2 fewer dependent ops/step. The packed obs row is
+        # reconstructed off-chain as m/K - 1 (identical in exact arithmetic;
+        # f32 rounding differs by ~1 ulp, see test_policy_rollout_kernel).
+        w1s = w1c_ref[:] * inv_K
+        b1s = b1c_ref[:] - w1c_ref[:]
+
+    if pregen_noise:
+        # Chain-shortening ablation (a), VERDICT r4 #3: every random draw in
+        # this kernel is STATE-INDEPENDENT, so the whole noise block can be
+        # generated in one fully-vectorized pre-pass over [T, C*E] planes —
+        # no dependent chain — and the stepping loop replaces its per-step
+        # PRNG + Box-Muller (log/sqrt/sin/cos, ~8 serialized VPU ops: Mosaic
+        # does not overlap independent chains, round-4 interleaving
+        # ablation) with VMEM loads. Costs (2 + obs_noise) * T*C*E*4 bytes
+        # of scratch (1 MiB at T=128, E=1024, continuous).
+        za_scr, zp_scr = noise_scr[0], noise_scr[1]
+        full = (num_steps, cols * E)
+        u1f = _uniform_from_bits(_random_bits(full, hlo), hlo)
+        u2f = _uniform_from_bits(_random_bits(full, hlo), hlo)
+        radf = jnp.sqrt(-2.0 * jnp.log(u1f))
+        thf = TWO_PI * u2f
+        if scheme == "continuous":
+            za_scr[:, :] = radf * jnp.cos(thf)      # action normals
+        else:
+            # categorical: action draw is a plain uniform (inverse-CDF)
+            za_scr[:, :] = _uniform_from_bits(_random_bits(full, hlo), hlo)
+        zp_scr[:, :] = radf * jnp.sin(thf)          # process normals
+        if obs_noise:
+            nf_scr = noise_scr[2]
+            e1 = _uniform_from_bits(_random_bits(full, hlo), hlo)
+            e2 = _uniform_from_bits(_random_bits(full, hlo), hlo)
+            eta = jnp.sqrt(-2.0 * jnp.log(e1)) * jnp.cos(TWO_PI * e2)
+            # pre-apply exp: the loop needs only meas = xn * nf
+            nf_scr[:, :] = jnp.exp(sigma_m * eta)
+
+    def forward(inp):
         """Merged actor-critic forward: (pi_out [A, E], value [1, E]).
 
         Same math as the XLA ActorCritic apply at f32 — the block-diagonal
         merge is exact (off-diagonal blocks are zero), proven by the z=0
         parity suite. The d1 layer is rank-1 (obs_dim == 1), a VPU broadcast
-        multiply; only d2 and the heads touch the MXU.
+        multiply; only d2 and the heads touch the MXU. ``inp`` is the obs
+        (fold_obs=False) or the clipped raw measurement m (fold_obs=True,
+        absorbed into w1s/b1s above).
         """
-        p1 = w1c_ref[:] * obs + b1c_ref[:]               # [2H, E]
+        if fold_obs:
+            p1 = w1s * inp + b1s                         # [2H, E]
+        else:
+            p1 = w1c_ref[:] * inp + b1c_ref[:]           # [2H, E]
         h1 = jnp.tanh(p1)
         p2 = jax.lax.dot_general(
             w2c_c, h1.astype(mt), (((0,), (0,)), ((), ())),
@@ -203,11 +254,19 @@ def _policy_rollout_kernel(
         # of x produced by the previous step — core/env.step_xi step 8 — so
         # the policy sees sigma_m measurement noise exactly like the engine's
         # batched_step(autoreset=True) path.
-        x, tt, cur_ret, cur_len, h_carry, obs, nd, sr, sl, srw = carry
-        pi_out, value = forward(obs)
+        x, tt, cur_ret, cur_len, h_carry, inp, nd, sr, sl, srw = carry
+        pi_out, value = forward(inp)
+        # the packed obs row always carries the true observation; under
+        # fold_obs it is reconstructed from m off the dependent chain
+        obs = inp * inv_K - 1.0 if fold_obs else inp
+        lo = c * E
 
         if scheme == "continuous":
-            z_act, z_proc = draw_pair()
+            if pregen_noise:
+                z_act = za_scr[pl.ds(t, 1), lo:lo + E]
+                z_proc = zp_scr[pl.ds(t, 1), lo:lo + E]
+            else:
+                z_act, z_proc = draw_pair()
             a = pi_out + std * z_act
             logp = -0.5 * (z_act * z_act) - log_std - 0.5 * LOG_2PI
             # continuous decode (spaces/scaling.py)
@@ -218,8 +277,12 @@ def _policy_rollout_kernel(
             # (cumsum-as-matmul — MXU-friendly, no lax.cumsum in Mosaic);
             # a = #{cdf_k < u} reproduces jax.random.categorical's
             # distribution (Gumbel-max) exactly in law.
-            u_act = _uniform_from_bits(_random_bits(shape, hlo), hlo)
-            _, z_proc = draw_pair()
+            if pregen_noise:
+                u_act = za_scr[pl.ds(t, 1), lo:lo + E]
+                z_proc = zp_scr[pl.ds(t, 1), lo:lo + E]
+            else:
+                u_act = _uniform_from_bits(_random_bits(shape, hlo), hlo)
+                _, z_proc = draw_pair()
             mx = jnp.max(pi_out, axis=0, keepdims=True)
             zl = pi_out - mx
             se = jnp.sum(jnp.exp(zl), axis=0, keepdims=True)
@@ -290,12 +353,18 @@ def _policy_rollout_kernel(
         # next policy input: lognormal-measured for live envs, noise-free for
         # just-reset ones (get_obs of the reset state — batched_step)
         if obs_noise:
-            eta, _ = draw_pair()
-            meas = jnp.where(done, xn, xn * jnp.exp(sigma_m * eta))
+            if pregen_noise:
+                meas = jnp.where(done, xn, xn * nf_scr[pl.ds(t, 1), lo:lo + E])
+            else:
+                eta, _ = draw_pair()
+                meas = jnp.where(done, xn, xn * jnp.exp(sigma_m * eta))
         else:
             meas = xn
-        obs_next = jnp.clip(meas / K - 1.0, -1.0, 1.0)
-        return xn, tn, cur_ret, cur_len, hv_carry, obs_next, nd, sr, sl, srw
+        if fold_obs:
+            inp_next = jnp.clip(meas, 0.0, 2.0 * K)
+        else:
+            inp_next = jnp.clip(meas / K - 1.0, -1.0, 1.0)
+        return xn, tn, cur_ret, cur_len, hv_carry, inp_next, nd, sr, sl, srw
 
     def body(t, carries):
         # cols > 1 interleaves INDEPENDENT env columns inside one program:
@@ -316,7 +385,8 @@ def _policy_rollout_kernel(
             x_ref[0, c:c + 1, :], t_ref[0, c:c + 1, :],
             ret_ref[0, c:c + 1, :], len_ref[0, c:c + 1, :],
             hv_ref[0, c:c + 1, :],
-            jnp.clip(x_ref[0, c:c + 1, :] / K - 1.0, -1.0, 1.0),
+            jnp.clip(x_ref[0, c:c + 1, :], 0.0, 2.0 * K) if fold_obs
+            else jnp.clip(x_ref[0, c:c + 1, :] / K - 1.0, -1.0, 1.0),
             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
             jnp.float32(0.0),
         )
@@ -406,7 +476,7 @@ def _merge_towers(weights: tuple) -> tuple:
     static_argnames=(
         "num_steps", "envs_per_block", "growth", "noise_form", "gamma",
         "gae_lambda", "scheme", "n_actions", "obs_noise", "interpret",
-        "compute", "blocks_per_program",
+        "compute", "blocks_per_program", "pregen_noise", "fold_obs",
     ),
 )
 def pallas_policy_rollout(
@@ -430,6 +500,8 @@ def pallas_policy_rollout(
     interpret: bool = False,
     compute: str = "float32",
     blocks_per_program: int = 1,
+    pregen_noise: bool = False,
+    fold_obs: bool = False,
 ) -> PolicyRollout:
     """Fused T-step PPO rollout + GAE; see PolicyRollout for outputs.
 
@@ -468,6 +540,8 @@ def pallas_policy_rollout(
         hlo=interpret == "hlo",
         compute=compute,
         cols=C,
+        pregen_noise=pregen_noise,
+        fold_obs=fold_obs,
     )
     state_blk = lambda: pl.BlockSpec(
         (1, C, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -498,7 +572,14 @@ def pallas_policy_rollout(
         scratch_shapes=[
             pltpu.VMEM((num_steps, C * E), jnp.float32),
             pltpu.VMEM((num_steps, C * E), jnp.float32),
-        ],
+        ] + (
+            # pre-generated noise planes: [za, zp] (+ [nf] when obs_noise)
+            [
+                pltpu.VMEM((num_steps, C * E), jnp.float32)
+                for _ in range(3 if obs_noise else 2)
+            ]
+            if pregen_noise else []
+        ),
         interpret=_interpret_param(interpret),
     )(
         scalars.reshape(1, NUM_SCALARS),

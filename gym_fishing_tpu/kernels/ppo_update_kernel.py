@@ -78,6 +78,15 @@ NUM_SCALARS = 8
 ADAM_NUM_SCALARS = 16
 LOG_2PI = 1.8378770664093453
 
+# Adam hyperparameters — the single source of truth for every site that must
+# stay in sync with optax: agents/ppo.make_train_state's optax.adam(eps=...),
+# agents/ppo_fused.fused_epoch_scan_adam's host-side bias corrections, and
+# fused_minibatch_grad_adam's kernel defaults below (ADVICE r4: previously
+# three independent literals).
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-5
+
 # scalar vector layout (SMEM):
 # 0:clip_eps 1:vf_coef 2:inv_n (1/minibatch) 3:adv_mu 4:adv_inv_std 5:ent_coef
 # fused-Adam extension (slots 8+, ADAM_NUM_SCALARS vector):
@@ -574,9 +583,9 @@ def fused_minibatch_grad_adam(
     tile: int = 2048,
     head: str = "gaussian",
     compute: str = "float32",
-    beta1: float = 0.9,
-    beta2: float = 0.999,
-    adam_eps: float = 1e-5,
+    beta1: float = ADAM_B1,
+    beta2: float = ADAM_B2,
+    adam_eps: float = ADAM_EPS,
     max_grad_norm: float = 0.5,
     interpret: bool = False,
 ):

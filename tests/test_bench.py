@@ -43,6 +43,21 @@ def test_time_fn():
     assert out["seconds_per_call"] > 0 and out["iters"] == 3
 
 
+def test_measure_ppo_train_fast_tier_tiny():
+    """The bench fast tier (bfloat16 + fused_adam plumbing) exercises the
+    same code path bench.py records as ppo_bf16_steps_per_s; fused='off'
+    keeps it runnable on CPU."""
+    from gym_fishing_tpu.bench.throughput import measure_ppo_train
+
+    res = measure_ppo_train(
+        num_envs=64, num_steps=8, iters=1, warmup=1, fused="off",
+        compute_dtype="bfloat16",
+    )
+    assert res["steps_per_s"] > 0
+    assert res["compute_dtype"] == "bfloat16"
+    assert res["mode"] == "ppo-off"
+
+
 def test_measure_rng_impl_rbg_tiny():
     res = measure(num_envs=64, num_steps=8, iters=2, warmup=1, mode="xla",
                   rng_impl="rbg")

@@ -132,8 +132,12 @@ def _reference_rollout_z0(env, params, ts, bstate, T, gamma, lam):
     ],
 )
 def test_policy_rollout_kernel_matches_reference_z0(env_id, overrides):
+    _run_z0_parity(env_id, overrides)
+
+
+def _run_z0_parity(env_id, overrides, **cfg_extra):
     env, params = registry.make(env_id, dtype=jnp.float32, **overrides)
-    cfg = ppo.PPOConfig(num_envs=256, num_steps=8, hidden=32)
+    cfg = ppo.PPOConfig(num_envs=256, num_steps=8, hidden=32, **cfg_extra)
     key = jax.random.key(0)
     ts = ppo.make_train_state(env, cfg, key)
     # jitter params so towers differ; keep log_std real
@@ -193,6 +197,30 @@ def test_policy_rollout_kernel_matches_reference_z0(env_id, overrides):
     )
     np.testing.assert_allclose(
         np.asarray(roll.stats), ref_stats, rtol=1e-5, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize(
+    "pregen,fold", [(True, False), (False, True), (True, True)]
+)
+@pytest.mark.parametrize(
+    "env_id,overrides",
+    [
+        ("fishing-v1", dict(sigma=0.05, Tmax=5)),          # gaussian head
+        ("fishing-v0", dict(sigma=0.05, Tmax=5)),          # relative decode
+        ("fishing-may-obs-v1", dict(Tmax=6)),              # obs-noise path
+    ],
+)
+def test_policy_rollout_chain_shortening_matches_z0(env_id, overrides,
+                                                    pregen, fold):
+    """The chain-shortening options (VERDICT r4 #3: pre-generated noise
+    planes, obs-affine fold into W1/b1) preserve kernel semantics: under the
+    interpreter's zero-bit PRNG the pre-generated draws are the same
+    deterministic values (z = 0, u = 1, nf = 1), and the fold is exact up to
+    ~1-ulp f32 rounding — so the same z=0 reference must match."""
+    _run_z0_parity(
+        env_id, overrides,
+        rollout_pregen_noise=pregen, rollout_fold_obs=fold,
     )
 
 
