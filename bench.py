@@ -54,6 +54,23 @@ def _probe_health() -> float:
     return round(h, 3)
 
 
+def _floors_skipped(health_pre, health_post) -> bool:
+    """Floors are skipped ONLY when both ends of the run measured degraded.
+
+    A healthy control at either end proves the session could execute at
+    speed, so a floor miss is a real regression (VERDICT r4 #1: the old
+    single-control skip was a regression-gate bypass). None (CPU run / no
+    control) never skips via this predicate — CPU runs have no floors at
+    all (floor = 0).
+    """
+    return (
+        health_pre is not None
+        and health_pre > _HEALTH_DEGRADED_MS
+        and health_post is not None
+        and health_post > _HEALTH_DEGRADED_MS
+    )
+
+
 def _git_sha() -> str:
     import subprocess
 
@@ -204,13 +221,7 @@ def main() -> None:
     # could execute at speed, so a floor miss is treated as a real
     # regression (VERDICT r4 #1: the old single-control skip was a
     # regression-gate bypass).
-    both_degraded = (
-        health_pre is not None
-        and health_pre > _HEALTH_DEGRADED_MS
-        and health_post is not None
-        and health_post > _HEALTH_DEGRADED_MS
-    )
-    if both_degraded:
+    if _floors_skipped(health_pre, health_post):
         print(
             f"DEGRADED DEVICE/TUNNEL: matmul controls pre={health_pre:.1f} "
             f"post={health_post:.1f} ms/iter (healthy ~2) — perf floors "

@@ -55,6 +55,9 @@ def main() -> int:
                     help="also train the pure-XLA path and assert "
                          "per-checkpoint agreement of the learning curves")
     ap.add_argument("--agreement-tol", type=float, default=0.25)
+    ap.add_argument("--chain-shortening", action="store_true",
+                    help="enable rollout_pregen_noise + rollout_fold_obs on "
+                         "the fused path (round-5 ablation flags)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
@@ -76,6 +79,8 @@ def main() -> int:
             num_envs=args.num_envs, num_steps=args.num_steps,
             fused_update=fused_update, fused_rollout=fused_rollout,
             compute_dtype=args.compute if fused_update else "float32",
+            rollout_pregen_noise=args.chain_shortening and fused_rollout,
+            rollout_fold_obs=args.chain_shortening and fused_rollout,
         )
         t0 = time.perf_counter()
         ts, history = ppo.train(

@@ -58,6 +58,29 @@ def test_measure_ppo_train_fast_tier_tiny():
     assert res["mode"] == "ppo-off"
 
 
+def test_bench_floor_skip_requires_both_ends_degraded():
+    """The regression-gate skip predicate (VERDICT r4 #1): a healthy health
+    control at EITHER end of the run keeps the perf floors armed; only a
+    run degraded at both ends skips them."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_main",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert bench._floors_skipped(500.0, 300.0) is True     # r04-style sick run
+    assert not bench._floors_skipped(500.0, 2.1)           # transient pre blip
+    assert not bench._floors_skipped(2.1, 500.0)           # degraded at exit
+    assert not bench._floors_skipped(2.1, 2.0)             # healthy
+    assert not bench._floors_skipped(None, None)           # CPU run
+    assert not bench._floors_skipped(500.0, None)
+
+
 def test_measure_rng_impl_rbg_tiny():
     res = measure(num_envs=64, num_steps=8, iters=2, warmup=1, mode="xla",
                   rng_impl="rbg")
