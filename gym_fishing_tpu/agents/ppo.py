@@ -80,6 +80,13 @@ class PPOConfig:
     # PASS on chip with both on, max_gap 0.0114). BENCH_NOTES "Round 5c".
     rollout_pregen_noise: bool = True
     rollout_fold_obs: bool = True
+    # rollout_vector_gae replaces the kernel's T-step sequential GAE reverse
+    # pass with a log-depth doubling scan over the [T, E] VMEM planes (the
+    # recurrence is an associative composition of affine maps) — ceil(log2 T)
+    # vectorized rounds instead of T latency-bound steps. Same math modulo
+    # f32 reassociation (~1 ulp); z=0 parity tested. Default per the
+    # round-5 measurement (BENCH_NOTES "Round 5e").
+    rollout_vector_gae: bool = False
     # fused_adam=True (requires fused_update; single-device)
     # moves clip-by-global-norm + Adam INSIDE the update kernel: each
     # minibatch is one pallas launch computing gradient + optimizer step on

@@ -389,6 +389,7 @@ def fused_rollout_collect(env, env_params, cfg, ts, bstate, key,
         compute=cfg.compute_dtype,
         pregen_noise=cfg.rollout_pregen_noise,
         fold_obs=cfg.rollout_fold_obs,
+        vector_gae=cfg.rollout_vector_gae,
     )
     dtype = env_params.dtype
     new_bstate = BatchState(

@@ -213,6 +213,7 @@ def measure_ppo_train(
     compute_dtype: str = "float32",
     pregen_noise: bool = False,
     fold_obs: bool = False,
+    vector_gae: bool = None,
 ) -> dict:
     """Time the full PPO train step (rollout + GAE + 4x8 minibatch SGD).
 
@@ -236,6 +237,7 @@ def measure_ppo_train(
         compute_dtype=compute_dtype,
         rollout_pregen_noise=pregen_noise,
         rollout_fold_obs=fold_obs,
+        **({} if vector_gae is None else dict(rollout_vector_gae=vector_gae)),
     )
     key = jax.random.key(0)
     ts = ppo.make_train_state(env, cfg, key)
@@ -261,7 +263,8 @@ def measure_ppo_train(
     steps_per_s = total / dt
     return {
         "mode": f"ppo-{fused}" + ("+adam" if fused_adam else "")
-        + ("+pregen" if pregen_noise else "") + ("+fold" if fold_obs else ""),
+        + ("+pregen" if pregen_noise else "") + ("+fold" if fold_obs else "")
+        + ("+vgae" if vector_gae else ""),
         "compute_dtype": cfg.compute_dtype,
         "num_envs": num_envs,
         "num_steps": num_steps,

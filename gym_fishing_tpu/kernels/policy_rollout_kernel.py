@@ -114,6 +114,7 @@ def _policy_rollout_kernel(
     cols: int = 1,
     pregen_noise: bool = False,
     fold_obs: bool = False,
+    vector_gae: bool = False,
 ):
     s = [scal_ref[0, i] for i in range(NUM_SCALARS)]
     K = s[1]
@@ -399,26 +400,62 @@ def _policy_rollout_kernel(
     # agents/ppo.compute_gae on collect_rollout's obs_last
     value_Ts = [forward(fin[5])[1] for fin in finals]
 
-    def rev_body(k, carry):
-        t = num_steps - 1 - k
-        out = []
+    if vector_gae:
+        # Log-depth GAE (round 5): the recurrence
+        #   gae_t = delta_t + (gamma*lam*nonterm_t) * gae_{t+1}
+        # is a composition of affine maps f_t(x) = b_t + a_t x, which is
+        # associative — so the suffix composition F_t = f_t∘…∘f_{T-1}
+        # (whose value at 0 IS gae_t) computes in ceil(log2 T) doubling
+        # rounds of fully-vectorized [T, E] multiply-adds instead of T
+        # sequential [1, E] steps. Same latency-bound argument as the
+        # stepping-loop chain-shortening: the sequential pass costs per-op
+        # LATENCY × T, the doubled pass costs per-op latency × log2(T) on
+        # tiles T× as tall. f32 rounding differs from the sequential order
+        # by the usual reassociation ~1 ulp (parity tolerances cover it).
         for c in range(cols):
-            gae, next_value = carry[c]
             lo, hi = c * E, (c + 1) * E
-            rew = rew_scr[pl.ds(t, 1), lo:hi]
-            nonterm = 1.0 - done_scr[pl.ds(t, 1), lo:hi]
-            value_t = packed_ref[3, pl.ds(t, 1), lo:hi]
-            delta = rew + gamma * next_value * nonterm - value_t
-            gae = delta + gamma * gae_lambda * nonterm * gae
-            store(4, t, c, gae)
-            store(5, t, c, gae + value_t)
-            out.append((gae, value_t))
-        return tuple(out)
+            rew = rew_scr[:, lo:hi]                       # [T, E]
+            nonterm = 1.0 - done_scr[:, lo:hi]
+            val = packed_ref[3, :, lo:hi]
+            nxt = jnp.concatenate(
+                [val[1:], value_Ts[c]], axis=0            # value_{t+1}
+            )
+            b = rew + gamma * nxt * nonterm - val         # delta_t
+            a = gamma * gae_lambda * nonterm
+            k = 1
+            while k < num_steps:
+                a_s = jnp.concatenate(
+                    [a[k:], jnp.ones((k, E), f32)], axis=0
+                )
+                b_s = jnp.concatenate(
+                    [b[k:], jnp.zeros((k, E), f32)], axis=0
+                )
+                b = b + a * b_s
+                a = a * a_s
+                k *= 2
+            packed_ref[4, :, lo:hi] = b
+            packed_ref[5, :, lo:hi] = b + val
+    else:
+        def rev_body(k, carry):
+            t = num_steps - 1 - k
+            out = []
+            for c in range(cols):
+                gae, next_value = carry[c]
+                lo, hi = c * E, (c + 1) * E
+                rew = rew_scr[pl.ds(t, 1), lo:hi]
+                nonterm = 1.0 - done_scr[pl.ds(t, 1), lo:hi]
+                value_t = packed_ref[3, pl.ds(t, 1), lo:hi]
+                delta = rew + gamma * next_value * nonterm - value_t
+                gae = delta + gamma * gae_lambda * nonterm * gae
+                store(4, t, c, gae)
+                store(5, t, c, gae + value_t)
+                out.append((gae, value_t))
+            return tuple(out)
 
-    jax.lax.fori_loop(
-        0, num_steps, rev_body,
-        tuple((zero_f, v) for v in value_Ts),
-    )
+        jax.lax.fori_loop(
+            0, num_steps, rev_body,
+            tuple((zero_f, v) for v in value_Ts),
+        )
 
     packed_ref[6, :, :] = jnp.zeros((num_steps, cols * E), f32)
     packed_ref[7, :, :] = jnp.zeros((num_steps, cols * E), f32)
@@ -477,6 +514,7 @@ def _merge_towers(weights: tuple) -> tuple:
         "num_steps", "envs_per_block", "growth", "noise_form", "gamma",
         "gae_lambda", "scheme", "n_actions", "obs_noise", "interpret",
         "compute", "blocks_per_program", "pregen_noise", "fold_obs",
+        "vector_gae",
     ),
 )
 def pallas_policy_rollout(
@@ -502,6 +540,7 @@ def pallas_policy_rollout(
     blocks_per_program: int = 1,
     pregen_noise: bool = False,
     fold_obs: bool = False,
+    vector_gae: bool = False,
 ) -> PolicyRollout:
     """Fused T-step PPO rollout + GAE; see PolicyRollout for outputs.
 
@@ -542,6 +581,7 @@ def pallas_policy_rollout(
         cols=C,
         pregen_noise=pregen_noise,
         fold_obs=fold_obs,
+        vector_gae=vector_gae,
     )
     state_blk = lambda: pl.BlockSpec(
         (1, C, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM

@@ -224,6 +224,24 @@ def test_policy_rollout_chain_shortening_matches_z0(env_id, overrides,
     )
 
 
+@pytest.mark.parametrize(
+    "env_id,overrides",
+    [
+        ("fishing-v1", dict(sigma=0.05, Tmax=5)),          # gaussian head
+        ("fishing-v0", dict(sigma=0.05, Tmax=5)),          # frequent resets
+        ("fishing-ricker-v1", dict(sigma=0.1, Tmax=6, cost=0.1)),
+    ],
+)
+def test_policy_rollout_vector_gae_matches_z0(env_id, overrides):
+    """The log-depth doubling GAE (rollout_vector_gae) computes the same
+    advantages/returns as the sequential reverse pass — the recurrence is an
+    associative composition of affine maps, so only f32 reassociation
+    (~1 ulp) separates them from the z=0 reference. num_steps=8 is not a
+    power-of-2 edge but the doubling loop handles any T; resets inside the
+    window exercise the nonterm masking."""
+    _run_z0_parity(env_id, overrides, rollout_vector_gae=True)
+
+
 def test_fused_rollout_train_step_smoke():
     """Full fused pipeline (rollout + update kernels) trains and stays
     finite on CPU (interpret mode)."""

@@ -271,6 +271,34 @@ def test_policy_rollout_kernel_chain_shortening_lowers_for_tpu(
     )
 
 
+def test_policy_rollout_kernel_vector_gae_lowers_for_tpu():
+    """The log-depth GAE doubling scan (concats + whole-plane reads/writes
+    on [T, C*E] VMEM refs) must lower for TPU."""
+    env, params = registry.make("fishing-v1", dtype=jnp.float32)
+    _, weights = _weights("fishing-v1")
+    scal = ppo_fused.rollout_scalars(params, jnp.float32(7))
+
+    def run(x, t, hv, er, el, scal, *w):
+        return pallas_policy_rollout(
+            x, t, hv, er, el, tuple(w), scal,
+            num_steps=T, envs_per_block=256,
+            growth=env.config.growth, noise_form=env.config.noise_form,
+            scheme=env.config.scheme, n_actions=env.config.n_actions,
+            pregen_noise=True, fold_obs=True, vector_gae=True,
+        )
+
+    _export_tpu(
+        run,
+        jnp.full((B,), 0.75, jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), 0.0125, jnp.float32),
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        scal,
+        *weights,
+    )
+
+
 def test_policy_rollout_kernel_blocks_per_program_lowers_for_tpu():
     env, params = registry.make("fishing-v1", dtype=jnp.float32)
     _, weights = _weights("fishing-v1")
