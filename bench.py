@@ -5,9 +5,15 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
 
 vs_baseline is measured against the driver's 50M env-steps/s/chip target
-(the reference itself publishes no numbers — BASELINE.md).
+(the reference itself publishes no numbers — BASELINE.md). The line also
+carries, from the same run: the XLA engine tier (xla_steps_per_s), the
+validated fast tiers (xla_rbg_steps_per_s, ppo_bf16_steps_per_s — see
+README "Defaults"), the fused-full PPO tier (ppo_train_steps_per_s), and
+the dual pre/post device-health controls (health_pre_ms/health_post_ms —
+BENCH_NOTES "Round 5").
 
-Options (env vars): BENCH_NUM_ENVS, BENCH_NUM_STEPS, BENCH_ITERS, BENCH_ENV.
+Options (env vars): BENCH_NUM_ENVS, BENCH_NUM_STEPS, BENCH_ITERS, BENCH_ENV,
+BENCH_MODE, BENCH_RNG, BENCH_SKIP_XLA/_PPO/_FAST, BENCH_PPO_NUM_ENVS/_STEPS.
 
 Regression gate (SURVEY.md §7.5 "steps/s regression gate"): on TPU hardware
 the measured throughput must clear a floor (BENCH_FLOOR_STEPS_PER_S; defaults
