@@ -26,8 +26,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "variance_log.jsonl")
+LOG = os.environ.get(
+    "VARIANCE_LOG",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "variance_log.jsonl"),
+)
 
 
 def main() -> None:
@@ -55,9 +58,20 @@ def main() -> None:
     num_envs = int(os.environ.get("VARIANCE_NUM_ENVS", 1 << 21))
     num_steps = int(os.environ.get("VARIANCE_NUM_STEPS", 512))
     iters = int(os.environ.get("VARIANCE_ITERS", 2))
-    pal = measure(num_envs=num_envs, num_steps=num_steps, iters=iters,
-                  warmup=1, mode="pallas")
-    rec["pallas_steps_per_s"] = pal["steps_per_s"]
+    try:
+        pal = measure(num_envs=num_envs, num_steps=num_steps, iters=iters,
+                      warmup=1, mode="pallas")
+        rec["pallas_steps_per_s"] = pal["steps_per_s"]
+    except Exception:
+        # no compiled-Pallas tier off-TPU (the Mosaic kernel is the point of
+        # this sample on hardware; the XLA row below still measures) — keep
+        # the harness smoke-testable on CPU
+        if on_tpu:
+            raise
+        rec["pallas_steps_per_s"] = measure(
+            num_envs=num_envs, num_steps=num_steps, iters=iters, warmup=1,
+            mode="xla",
+        )["steps_per_s"]
     xla = measure(num_envs=num_envs, num_steps=num_steps, iters=iters,
                   warmup=1, mode="xla")
     rec["xla_steps_per_s"] = xla["steps_per_s"]

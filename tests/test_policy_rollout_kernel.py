@@ -135,9 +135,11 @@ def test_policy_rollout_kernel_matches_reference_z0(env_id, overrides):
     _run_z0_parity(env_id, overrides)
 
 
-def _run_z0_parity(env_id, overrides, **cfg_extra):
+def _run_z0_parity(env_id, overrides, num_steps=8, **cfg_extra):
     env, params = registry.make(env_id, dtype=jnp.float32, **overrides)
-    cfg = ppo.PPOConfig(num_envs=256, num_steps=8, hidden=32, **cfg_extra)
+    cfg = ppo.PPOConfig(
+        num_envs=256, num_steps=num_steps, hidden=32, **cfg_extra
+    )
     key = jax.random.key(0)
     ts = ppo.make_train_state(env, cfg, key)
     # jitter params so towers differ; keep log_std real
@@ -240,6 +242,15 @@ def test_policy_rollout_vector_gae_matches_z0(env_id, overrides):
     power-of-2 edge but the doubling loop handles any T; resets inside the
     window exercise the nonterm masking."""
     _run_z0_parity(env_id, overrides, rollout_vector_gae=True)
+
+
+def test_policy_rollout_vector_gae_odd_T():
+    """Doubling-scan GAE at a non-power-of-2 horizon (T=12): the k=1,2,4,8
+    rounds must handle the ragged final shift (identity padding) exactly."""
+    _run_z0_parity(
+        "fishing-v1", dict(sigma=0.05, Tmax=5), num_steps=12,
+        rollout_vector_gae=True,
+    )
 
 
 def test_fused_rollout_train_step_smoke():
