@@ -211,8 +211,8 @@ def measure_ppo_train(
     fused: str = "full",   # "full" | "update" | "off"
     fused_adam: bool = False,
     compute_dtype: str = "float32",
-    pregen_noise: bool = False,
-    fold_obs: bool = False,
+    pregen_noise: bool = None,
+    fold_obs: bool = None,
     vector_gae: bool = None,
 ) -> dict:
     """Time the full PPO train step (rollout + GAE + 4x8 minibatch SGD).
@@ -222,12 +222,26 @@ def measure_ppo_train(
     regression floor (VERDICT r2 #3). fused="full" additionally exercises a
     REAL (non-interpreted) pallas_policy_rollout on TPU — the execution-side
     tripwire companion to tests/test_tpu_lowering.py.
+
+    The chain-shortening knobs (pregen_noise / fold_obs / vector_gae)
+    default to None = INHERIT the PPOConfig defaults (pregen+fold ON since
+    round 5) — a False measure-side default would silently ablate the
+    production configuration (the round-5 bench dry-run did exactly that;
+    the returned "rollout_flags" field makes the effective config explicit).
+    Pass True/False explicitly for A/B ablation runs.
     """
     from functools import partial
 
     from gym_fishing_tpu.agents import ppo
 
     env, params = gft.make("fishing-v1", sigma=sigma)
+    overrides = {
+        k: v for k, v in (
+            ("rollout_pregen_noise", pregen_noise),
+            ("rollout_fold_obs", fold_obs),
+            ("rollout_vector_gae", vector_gae),
+        ) if v is not None
+    }
     cfg = ppo.PPOConfig(
         num_envs=num_envs,
         num_steps=num_steps,
@@ -235,9 +249,7 @@ def measure_ppo_train(
         fused_rollout=fused == "full",
         fused_adam=fused_adam,
         compute_dtype=compute_dtype,
-        rollout_pregen_noise=pregen_noise,
-        rollout_fold_obs=fold_obs,
-        **({} if vector_gae is None else dict(rollout_vector_gae=vector_gae)),
+        **overrides,
     )
     key = jax.random.key(0)
     ts = ppo.make_train_state(env, cfg, key)
@@ -262,9 +274,18 @@ def measure_ppo_train(
     total = num_envs * num_steps * iters
     steps_per_s = total / dt
     return {
+        # the chain-shortening suffixes/flags are only meaningful when the
+        # fused rollout actually runs (they are kernel options)
         "mode": f"ppo-{fused}" + ("+adam" if fused_adam else "")
-        + ("+pregen" if pregen_noise else "") + ("+fold" if fold_obs else "")
-        + ("+vgae" if vector_gae else ""),
+        + ("+pregen" if cfg.fused_rollout and cfg.rollout_pregen_noise
+           else "")
+        + ("+fold" if cfg.fused_rollout and cfg.rollout_fold_obs else "")
+        + ("+vgae" if cfg.fused_rollout and cfg.rollout_vector_gae else ""),
+        "rollout_flags": {
+            "pregen_noise": cfg.fused_rollout and cfg.rollout_pregen_noise,
+            "fold_obs": cfg.fused_rollout and cfg.rollout_fold_obs,
+            "vector_gae": cfg.fused_rollout and cfg.rollout_vector_gae,
+        },
         "compute_dtype": cfg.compute_dtype,
         "num_envs": num_envs,
         "num_steps": num_steps,

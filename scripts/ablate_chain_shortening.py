@@ -50,10 +50,13 @@ def main() -> None:
     rec["health_pre_ms"] = round(device_health_matmul_ms(), 3)
     print(json.dumps({"health_pre_ms": rec["health_pre_ms"]}), flush=True)
 
+    # NB: since round 5 the PPOConfig defaults are pregen+fold ON, and
+    # measure_ppo_train(None) INHERITS them — the ablation baseline must
+    # force both off explicitly.
     variants = [
-        ("baseline", dict()),
-        ("pregen", dict(pregen_noise=True)),
-        ("fold", dict(fold_obs=True)),
+        ("baseline", dict(pregen_noise=False, fold_obs=False)),
+        ("pregen", dict(pregen_noise=True, fold_obs=False)),
+        ("fold", dict(pregen_noise=False, fold_obs=True)),
         ("pregen+fold", dict(pregen_noise=True, fold_obs=True)),
     ]
     # repeats-and-min: the degraded tunnel adds ~0.7 s RPC stalls
