@@ -81,6 +81,25 @@ def test_bench_floor_skip_requires_both_ends_degraded():
     assert not bench._floors_skipped(500.0, None)
 
 
+def test_measure_ppo_train_inherits_chain_shortening_defaults():
+    """Regression pin for the round-5 bench bug: measure-side False defaults
+    silently overrode PPOConfig's chain-shortening defaults, so the bench
+    artifact measured a non-default configuration while labeling it default.
+    The knobs must default to None (= inherit) and the PPOConfig defaults
+    must be the round-5 decision (pregen+fold ON, vector_gae OFF)."""
+    import inspect
+
+    from gym_fishing_tpu.bench.throughput import measure_ppo_train
+    from gym_fishing_tpu.agents.ppo import PPOConfig
+
+    sig = inspect.signature(measure_ppo_train)
+    for p in ("pregen_noise", "fold_obs", "vector_gae"):
+        assert sig.parameters[p].default is None, p
+    cfg = PPOConfig()
+    assert cfg.rollout_pregen_noise and cfg.rollout_fold_obs
+    assert not cfg.rollout_vector_gae
+
+
 def test_measure_rng_impl_rbg_tiny():
     res = measure(num_envs=64, num_steps=8, iters=2, warmup=1, mode="xla",
                   rng_impl="rbg")
