@@ -23,6 +23,7 @@ setup(
     extras_require={
         "learn": ["flax", "optax"],
         "gym": ["gymnasium"],
+        "ckpt": ["orbax-checkpoint"],   # optional backend; npz is built in
         "test": ["pytest"],
     },
 )
