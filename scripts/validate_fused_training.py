@@ -58,6 +58,8 @@ def main() -> int:
     ap.add_argument("--chain-shortening", action="store_true",
                     help="enable rollout_pregen_noise + rollout_fold_obs on "
                          "the fused path (round-5 ablation flags)")
+    ap.add_argument("--fused-adam", action="store_true",
+                    help="run the in-kernel clip+Adam on the fused path")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
@@ -81,6 +83,7 @@ def main() -> int:
             compute_dtype=args.compute if fused_update else "float32",
             rollout_pregen_noise=args.chain_shortening and fused_rollout,
             rollout_fold_obs=args.chain_shortening and fused_rollout,
+            fused_adam=args.fused_adam and fused_update,
         )
         t0 = time.perf_counter()
         ts, history = ppo.train(
